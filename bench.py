@@ -1,0 +1,120 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: Gaussians-optimized per second (3DGS training throughput on a
+synthetic 50k-Gaussian / 8-camera / 224px scene — BASELINE config 3 scale),
+plus auxiliary metrics (pairwise ViT inference pairs/s, rasterizer fps) in
+the same record. The reference publishes no numbers (BASELINE.md), so
+vs_baseline is the ratio against the previous recorded run of this harness
+(BENCH_LOCAL.json), 1.0 on first run.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _timeit(fn, warmup=2, iters=10):
+    import jax
+    for _ in range(warmup):
+        jax.block_until_ready(fn())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from starst3r_tpu.config import SplatConfig, ModelConfig
+    from starst3r_tpu.models.mast3r import Mast3rModel
+    from starst3r_tpu.splat.train import init_gaussians, train_step
+
+    rng = np.random.default_rng(0)
+
+    # ---------------- 3DGS training throughput ----------------------------
+    n_g = 50_000
+    n_cams, h, w = 8, 224, 224
+    pts = rng.normal(size=(n_g, 3)).astype(np.float32) * 0.5
+    pts[:, 2] += 3.0
+    cols = rng.uniform(size=(n_g, 3)).astype(np.float32)
+    cfg = SplatConfig()
+    state = init_gaussians(pts, cols, cfg)
+    gt = jnp.asarray(rng.uniform(size=(n_cams, h, w, 3)).astype(np.float32))
+    w2c = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (n_cams, 1, 1))
+    K = jnp.tile(jnp.array([[200.0, 0, w / 2], [0, 200.0, h / 2], [0, 0, 1]],
+                           jnp.float32)[None], (n_cams, 1, 1))
+
+    holder = {"state": state}
+
+    def step():
+        s, loss = train_step(holder["state"], gt, w2c, K, w, h, cfg, n_cams)
+        holder["state"] = s
+        return loss
+
+    dt_step = _timeit(step, warmup=2, iters=10)
+    gauss_per_s = n_g / dt_step
+
+    # ---------------- pairwise inference throughput -----------------------
+    mcfg = ModelConfig.base()
+    model = Mast3rModel.init_random(mcfg, image_hw=(224, 224))
+    b = 4
+    img = jnp.asarray(rng.uniform(-1, 1, size=(b, 224, 224, 3))
+                      .astype(np.float32))
+
+    def infer():
+        return model.infer_pair_batch(img, img)["pts1"]
+
+    dt_inf = _timeit(infer, warmup=2, iters=5)
+    pairs_per_s = b / dt_inf
+
+    # ---------------- render-only fps -------------------------------------
+    from starst3r_tpu.splat.train import render
+
+    def render_once():
+        rgb, _, _ = render(holder["state"].params, w2c, K, w, h, cfg)
+        return rgb
+
+    dt_render = _timeit(render_once, warmup=2, iters=10)
+    fps = n_cams / dt_render
+
+    prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_LOCAL.json")
+    vs_baseline = 1.0
+    if os.path.exists(prev_path):
+        try:
+            with open(prev_path) as f:
+                prev = json.load(f)
+            if prev.get("value"):
+                vs_baseline = gauss_per_s / float(prev["value"])
+        except Exception:
+            pass
+
+    record = {
+        "metric": "gaussians_optimized_per_s",
+        "value": round(gauss_per_s, 1),
+        "unit": "gaussians*steps/s",
+        "vs_baseline": round(vs_baseline, 3),
+        "aux": {
+            "splat_step_ms": round(dt_step * 1e3, 2),
+            "render_fps_224": round(fps, 1),
+            "vit_base_pairs_per_s_224": round(pairs_per_s, 2),
+            "n_gaussians": n_g,
+            "n_cameras": n_cams,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    try:
+        with open(prev_path, "w") as f:
+            json.dump(record, f)
+    except Exception:
+        pass
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()

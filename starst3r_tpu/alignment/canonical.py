@@ -1,0 +1,135 @@
+"""Canonical per-image data preparation from pairwise predictions.
+
+Behavioral spec (SURVEY §2b "Canonical data prep" row, reference call-site
+reconstruct.py:101-102 `prepare_canonical_data(mode='avg-angle')`): aggregate
+the ≤2(N−1) pairwise pointmap predictions per image into
+  - one canonical pointmap/depth per image (confidence-weighted average of
+    every prediction of that image in its own frame),
+  - a per-image base focal + principal point estimate,
+  - anchor tensors mapping the subsampled core-depth grid to full resolution
+    (ratio anchors: dense_depth[p] = core_depth[anchor_idx[p]] * offset[p]),
+  - cross predictions `preds_21` on the core grid for the dust3r-fallback
+    regression loss (reference reconstruct.py:283-323).
+
+All reductions are jnp over a stacked pair axis (TPU-friendly); the per-image
+bookkeeping is host-side (N is small).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.mast3r import PairPrediction
+from ..ops.matching import subsample_grid_indices
+from ..utils.camera import estimate_focal_from_pointmap
+
+__all__ = ("CanonicalView", "build_canonical_views", "compute_anchors")
+
+
+@dataclass
+class CanonicalView:
+    """Canonical (own-frame) geometry for one image."""
+
+    pts3d: np.ndarray       # (H, W, 3) canonical pointmap, own camera frame
+    conf: np.ndarray        # (H, W) aggregated confidence
+    depth: np.ndarray       # (H, W) = pts3d[..., 2]
+    focal: float            # base focal estimate (pixels)
+    pp: np.ndarray          # (2,) principal point (pixels) = image center
+    # core (subsampled) grid
+    core_depth: np.ndarray  # (hs*ws,) canonical depth on the anchor grid
+    anchor_idx: np.ndarray  # (H*W,) int32 — core index for each dense pixel
+    anchor_offset: np.ndarray  # (H*W,) float32 — dense/core depth ratio
+
+
+@jax.jit
+def _weighted_average(pts_stack: jnp.ndarray, conf_stack: jnp.ndarray):
+    """pts_stack: (P, H, W, 3); conf_stack: (P, H, W) -> canonical pts/conf.
+
+    Confidence weights are (conf - 1) so the "no information" level conf=1
+    contributes zero weight (conf = 1 + exp(raw) >= 1).
+    """
+    w = jnp.maximum(conf_stack - 1.0, 0.0)[..., None]
+    wsum = jnp.maximum(jnp.sum(w, axis=0), 1e-8)
+    pts = jnp.sum(pts_stack * w, axis=0) / wsum
+    conf = jnp.mean(conf_stack, axis=0)
+    return pts, conf
+
+
+def compute_anchors(depth: np.ndarray, subsample: int):
+    """Ratio anchors from a dense depth map (H, W).
+
+    Returns (core_depth (hs*ws,), anchor_idx (H*W,), offset (H*W,)) with
+    dense_depth = core_depth[anchor_idx] * offset.
+    """
+    h, w = depth.shape
+    grid, hs, ws = subsample_grid_indices(h, w, subsample)
+    grid = np.asarray(grid)
+    core = depth.reshape(-1)[grid]  # (hs*ws,)
+    off = subsample // 2
+    ys = np.arange(h)
+    xs = np.arange(w)
+    # nearest anchor-grid row/col for each dense pixel
+    cy = np.clip(np.round((ys - off) / subsample).astype(np.int64), 0, hs - 1)
+    cx = np.clip(np.round((xs - off) / subsample).astype(np.int64), 0, ws - 1)
+    anchor_idx = (cy[:, None] * ws + cx[None, :]).reshape(-1).astype(np.int32)
+    core_at_pix = core[anchor_idx]
+    offset = depth.reshape(-1) / np.maximum(core_at_pix, 1e-8)
+    return core.astype(np.float32), anchor_idx, offset.astype(np.float32)
+
+
+def build_canonical_views(
+    n_images: int,
+    preds: Sequence[PairPrediction],
+    subsample: int = 8,
+) -> Tuple[List[CanonicalView], Dict[Tuple[int, int], Tuple[np.ndarray, np.ndarray]]]:
+    """Aggregate pairwise predictions into canonical views.
+
+    Returns (views, preds_21) where preds_21[(j, i)] = (pts (hs*ws, 3),
+    confs (hs*ws,)): image i's points predicted **in image j's frame** on the
+    core grid — consumed by the dust3r-fallback loss exactly like the
+    reference's preds_21[imgs[s.img2]][imgs[s.img1]]
+    (reference reconstruct.py:308-310).
+    """
+    h, w = preds[0].pts1.shape[:2]
+    grid, hs, ws = subsample_grid_indices(h, w, subsample)
+    grid = np.asarray(grid)
+
+    per_image_pts: List[List[np.ndarray]] = [[] for _ in range(n_images)]
+    per_image_conf: List[List[np.ndarray]] = [[] for _ in range(n_images)]
+    preds_21: Dict[Tuple[int, int], Tuple[np.ndarray, np.ndarray]] = {}
+
+    for p in preds:
+        # pts1 is image idx1 in its own frame -> canonical evidence for idx1
+        per_image_pts[p.idx1].append(p.pts1)
+        per_image_conf[p.idx1].append(p.conf1)
+        # pts2 is image idx2 in idx1's frame -> cross prediction
+        preds_21[(p.idx1, p.idx2)] = (
+            p.pts2.reshape(-1, 3)[grid].astype(np.float32),
+            p.conf2.reshape(-1)[grid].astype(np.float32),
+        )
+
+    views: List[CanonicalView] = []
+    for i in range(n_images):
+        assert per_image_pts[i], f"image {i} appears in no pair as view 1"
+        pts_stack = jnp.asarray(np.stack(per_image_pts[i]))
+        conf_stack = jnp.asarray(np.stack(per_image_conf[i]))
+        pts, conf = _weighted_average(pts_stack, conf_stack)
+        pts = np.asarray(pts)
+        conf = np.asarray(conf)
+        pp = np.array([w / 2.0, h / 2.0], np.float32)
+        focal = float(estimate_focal_from_pointmap(
+            jnp.asarray(pts), jnp.asarray(pp), jnp.asarray(conf)))
+        # guard degenerate focals (random-init nets in tests)
+        diag = float(np.hypot(h, w))
+        focal = float(np.clip(focal, 0.25 * diag, 10.0 * diag))
+        depth = np.maximum(pts[..., 2], 1e-6)
+        core, anchor_idx, offset = compute_anchors(depth, subsample)
+        views.append(CanonicalView(
+            pts3d=pts, conf=conf, depth=depth, focal=focal, pp=pp,
+            core_depth=core, anchor_idx=anchor_idx, anchor_offset=offset))
+    return views, preds_21

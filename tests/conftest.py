@@ -1,0 +1,29 @@
+"""Test configuration: force CPU with 8 virtual devices so sharding tests
+exercise a real multi-device mesh without TPU hardware (SURVEY §4 /
+§7.6 distributed-test strategy).
+
+Note: this image's axon TPU plugin overrides JAX_PLATFORMS at interpreter
+start via sitecustomize, so the env var alone is not enough — we must also
+set the config programmatically after importing jax.
+"""
+
+import os
+
+# Must be set before jax initializes any backend.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

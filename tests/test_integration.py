@@ -1,0 +1,120 @@
+"""End-to-end integration tests (BASELINE configs 1-3 at tiny scale on CPU).
+
+Mirrors the reference's only executable test, main.py (SURVEY §3.3): load
+images -> incremental add_images (warm-start path) -> init_3dgs ->
+run_3dgs_optim with and without pruning -> render all views.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import starst3r_tpu as st
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    return st.Mast3rModel.init_random(st.ModelConfig.tiny(), image_hw=(64, 64))
+
+
+@pytest.fixture(scope="module")
+def fast_cfg():
+    cfg = st.default_config()
+    return dataclasses.replace(
+        cfg, ga=dataclasses.replace(cfg.ga, niter1=15, niter2=8))
+
+
+def _images(n, rng, hw=(64, 64)):
+    return [rng.uniform(-1, 1, size=(3, *hw)).astype(np.float32)
+            for _ in range(n)]
+
+
+def test_two_image_pair_reconstruction(tiny_model, fast_cfg, rng):
+    """BASELINE config 1: 2 images, tiny ViT, pairwise alignment, CPU."""
+    imgs = _images(2, rng)
+    rec, params = st.reconstruct_scene(tiny_model, imgs, config=fast_cfg)
+    assert rec.cam2w.shape == (2, 4, 4)
+    assert rec.intrinsics.shape == (2, 3, 3)
+    assert np.all(np.isfinite(rec.cam2w))
+    # cam2w must be valid SE3
+    R = rec.cam2w[:, :3, :3]
+    eye = np.einsum("nij,nkj->nik", R, R)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (2, 1, 1)), atol=1e-3)
+    pts, depths, confs = rec.get_dense_pts3d(clean_depth=True)
+    assert pts[0].shape == (64 * 64, 3)
+    assert np.all(np.isfinite(pts[0]))
+
+
+def test_incremental_add_images_warm_start(tiny_model, fast_cfg, rng):
+    """The SLAM warm-start path (reference reconstruct.py:408-415 /
+    main.py:49-50)."""
+    imgs = _images(3, rng)
+    scene = st.Scene(config=fast_cfg)
+    scene.add_images(tiny_model, imgs[:2])
+    p0 = scene.optim_params
+    c2w_before = scene.c2w.copy()
+    assert scene.c2w.shape == (2, 4, 4)
+    scene.add_images(tiny_model, imgs[2:])
+    assert scene.c2w.shape == (3, 4, 4)
+    assert scene.optim_params is not None
+    assert p0.quats.shape[0] == 2 and scene.optim_params.quats.shape[0] == 3
+    assert len(scene.imgs) == 3
+    assert len(scene.dense_pts) == 3
+
+
+def test_full_pipeline_with_3dgs(tiny_model, fast_cfg, rng):
+    """Configs 2-3 shrunk: reconstruct -> 3DGS optim (pruning on then off)
+    -> render, like main.py:80-88."""
+    imgs = _images(2, rng)
+    scene = st.Scene(config=fast_cfg)
+    scene.add_images(tiny_model, imgs)
+    if scene.dense_pts_flat.shape[0] == 0:
+        pytest.skip("random net produced no confident points")
+    scene.init_3dgs()
+    l1 = scene.run_3dgs_optim(4, enable_pruning=True)
+    l2 = scene.run_3dgs_optim(2, enable_pruning=False)
+    assert len(l1) == 4 and len(l2) == 2
+    assert all(np.isfinite(l) for l in l1 + l2)
+    # loss should decrease over the first steps
+    assert l2[-1] < l1[0]
+    rgb, alpha, info = scene.render_3dgs_original(64, 64)
+    assert rgb.shape == (2, 64, 64, 3)
+    assert alpha.shape == (2, 64, 64, 1)
+    assert np.all(np.isfinite(np.asarray(rgb)))
+    # novel view rendering from an interpolated path (utils.py:57-78 analog)
+    path = st.interp_se3_path(scene.c2w[0], scene.c2w[1], 3)
+    import jax.numpy as jnp
+    from starst3r_tpu.utils.se3 import se3_inverse
+    w2c_path = np.asarray(se3_inverse(jnp.asarray(path)))
+    Ks = np.tile(scene.intrinsics[:1], (3, 1, 1))
+    rgb2, _, _ = scene.render_3dgs(w2c_path, Ks, 64, 64)
+    assert rgb2.shape == (3, 64, 64, 3)
+
+
+def test_pair_cache_hits(tiny_model, fast_cfg, rng, tmp_path):
+    """Re-running with the same cache dir must not re-infer
+    (reference disk-cache semantics, scene.py:60-62)."""
+    imgs = _images(2, rng)
+    cache = str(tmp_path / "cache")
+    rec1, _ = st.reconstruct_scene(tiny_model, imgs, tmpdir=cache,
+                                   config=fast_cfg)
+    import os
+    files = set(os.listdir(cache))
+    assert len(files) == 2  # two ordered pairs
+
+    calls = {"n": 0}
+    orig = tiny_model.infer_pairs
+
+    def counted(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    tiny_model.infer_pairs = counted
+    try:
+        rec2, _ = st.reconstruct_scene(tiny_model, imgs, tmpdir=cache,
+                                       config=fast_cfg)
+    finally:
+        tiny_model.infer_pairs = orig
+    assert calls["n"] == 0
+    np.testing.assert_allclose(rec1.cam2w, rec2.cam2w, atol=1e-4)

@@ -1,0 +1,208 @@
+"""3DGS engine tests: rasterizer vs a brute-force numpy reference,
+gradient finiteness under stress, MCMC relocation invariants, and loss
+descent on a fit problem (SURVEY §7.6: "renderer must match a reference
+numpy rasterizer")."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from starst3r_tpu.config import SplatConfig
+from starst3r_tpu.splat import (MCMCConfig, add_position_noise, init_gaussians,
+                                rasterize, relocate_dead, render, train_step)
+from starst3r_tpu.splat.rasterize import quat_to_rotmat_wxyz
+
+
+def _numpy_rasterize(means, quats, scales, opacities, colors, w2c, K, w, h,
+                     eps2d=0.3, near=0.01):
+    """Brute-force per-pixel front-to-back compositing (no tiles, no caps)."""
+    R = w2c[:3, :3]
+    t = w2c[:3, 3]
+    cam = means @ R.T + t
+    z = cam[:, 2]
+    order = np.argsort(z)
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+
+    Rq = np.asarray(quat_to_rotmat_wxyz(jnp.asarray(quats)))
+    rgb = np.zeros((h, w, 3))
+    T = np.ones((h, w))
+    ys, xs = np.mgrid[0:h, 0:w]
+    px = xs + 0.5
+    py = ys + 0.5
+    for i in order:
+        if z[i] <= near:
+            continue
+        zc = z[i]
+        u = fx * cam[i, 0] / zc + cx
+        v = fy * cam[i, 1] / zc + cy
+        M = Rq[i] * scales[i][None, :]
+        cov3d = M @ M.T
+        J = np.array([[fx / zc, 0, -fx * cam[i, 0] / zc ** 2],
+                      [0, fy / zc, -fy * cam[i, 1] / zc ** 2]])
+        cov2d = J @ R @ cov3d @ R.T @ J.T
+        a, b, c = cov2d[0, 0] + eps2d, cov2d[0, 1], cov2d[1, 1] + eps2d
+        det = a * c - b * b
+        if det <= 1e-12 or opacities[i] <= 1.0 / 255.0:
+            continue
+        ca, cb, cc = c / det, -b / det, a / det
+        dx = px - u
+        dy = py - v
+        sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+        alpha = np.minimum(opacities[i] * np.exp(-np.clip(sigma, 0, 50)),
+                           0.999)
+        alpha = np.where((sigma >= 0) & (alpha > 1.0 / 255.0), alpha, 0.0)
+        rgb += (T * alpha)[..., None] * colors[i][None, None, :]
+        T = T * (1 - alpha)
+    return rgb, 1 - T
+
+
+def _sh_dc_color(colors_lin):
+    """Inverse of sh_eval at degree>=0 with only band0: color = C0*sh + 0.5."""
+    return (colors_lin - 0.5) / 0.28209479177387814
+
+
+@pytest.fixture
+def small_scene(rng):
+    n = 64
+    means = rng.normal(size=(n, 3)).astype(np.float32) * 0.4
+    means[:, 2] += 2.5
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    scales = rng.uniform(0.01, 0.06, size=(n, 3)).astype(np.float32)
+    opac = rng.uniform(0.3, 0.9, size=(n,)).astype(np.float32)
+    cols = rng.uniform(0.1, 0.9, size=(n, 3)).astype(np.float32)
+    w2c = np.eye(4, dtype=np.float32)
+    K = np.array([[40.0, 0, 16], [0, 40.0, 16], [0, 0, 1]], np.float32)
+    return means, quats, scales, opac, cols, w2c, K
+
+
+def test_rasterize_matches_numpy_reference(small_scene):
+    means, quats, scales, opac, cols, w2c, K = small_scene
+    h = w = 32
+    ref_rgb, ref_alpha = _numpy_rasterize(means, quats, scales, opac, cols,
+                                          w2c, K, w, h)
+    # degree-0 SH carrying exactly `cols`
+    sh = np.zeros((means.shape[0], 4, 3), np.float32)
+    sh[:, 0] = _sh_dc_color(cols)
+    rgb, alpha, _ = rasterize(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(sh), jnp.asarray(w2c)[None],
+        jnp.asarray(K)[None], w, h, sh_degree=0, tile_size=16,
+        tile_window=3, max_per_tile=128, chunk=32)
+    np.testing.assert_allclose(np.asarray(rgb[0]), ref_rgb, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(alpha[0, ..., 0]), ref_alpha,
+                               atol=2e-3)
+
+
+def test_rasterize_gradients_finite_under_stress(rng):
+    """Regression: behind-camera, far-outside, zero-scale, >1 opacity and
+    coincident-with-camera Gaussians must not produce NaN grads (the
+    where/exp(-sigma) VJP trap)."""
+    n = 48
+    means = rng.normal(size=(n, 3)).astype(np.float32)
+    means[:8, 2] = -3.0          # behind camera
+    means[8:12] = 0.0            # exactly at camera origin
+    means[12:16, 0] = 500.0      # far outside frustum
+    scales = np.full((n, 3), 3e-3, np.float32)
+    scales[16:20] = 0.0          # degenerate
+    opac = np.ones((n,), np.float32)
+    opac[20:24] = 1.5            # raw opacity beyond 1
+    opac[24:28] = -0.2           # negative raw opacity
+    quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+    quats[28:32] = 0.0           # zero quats
+    sh = rng.normal(size=(n, 4, 3)).astype(np.float32)
+    w2c = jnp.eye(4)[None]
+    K = jnp.asarray(np.array([[40.0, 0, 16], [0, 40.0, 16], [0, 0, 1]],
+                             np.float32))[None]
+
+    def loss(m, q, s, o, c):
+        rgb, alpha, _ = rasterize(m, q, s, o, c, w2c, K, 32, 32,
+                                  sh_degree=1, tile_size=16, tile_window=3,
+                                  max_per_tile=64, chunk=32)
+        return jnp.sum(rgb) + jnp.sum(alpha)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(sh))
+    for g in grads:
+        assert bool(jnp.all(jnp.isfinite(g))), "NaN/inf gradient"
+
+
+def test_train_step_stays_finite(rng):
+    n = 512
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    pts[:, 2] += 3.0
+    cols = rng.uniform(size=(n, 3)).astype(np.float32)
+    cfg = SplatConfig()
+    state = init_gaussians(pts, cols, cfg)
+    c, h, w = 2, 32, 32
+    gt = jnp.asarray(rng.uniform(size=(c, h, w, 3)).astype(np.float32))
+    w2c = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (c, 1, 1))
+    K = jnp.tile(jnp.asarray([[30.0, 0, 16], [0, 30.0, 16], [0, 0, 1]],
+                             )[None], (c, 1, 1)).astype(jnp.float32)
+    losses = []
+    for _ in range(20):
+        state, loss = train_step(state, gt, w2c, K, w, h, cfg, c)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses)), losses
+    for v in state.params.values():
+        assert bool(jnp.all(jnp.isfinite(v)))
+    assert losses[-1] < losses[0]  # it should actually fit something
+
+
+def test_mcmc_relocate_invariants(rng):
+    n = 256
+    params = {
+        "means": jnp.asarray(rng.normal(size=(n, 3)), jnp.float32),
+        "scales": jnp.full((n, 3), 0.01),
+        "quats": jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (n, 1)),
+        "opacities": jnp.asarray(rng.uniform(0.5, 1.2, size=(n,)),
+                                 jnp.float32),
+        "sh0": jnp.zeros((n, 1, 3)),
+        "shN": jnp.zeros((n, 24, 3)),
+    }
+    params["opacities"] = params["opacities"].at[:50].set(0.001)  # dead
+    out, relocated = relocate_dead(jax.random.PRNGKey(0), params)
+    assert out["means"].shape == (n, 3)          # capacity never changes
+    assert bool(jnp.all(jnp.isfinite(out["opacities"])))
+    assert bool(jnp.all(relocated[:50]))          # all dead slots relocated
+    # relocated means coincide with some live mean
+    live_means = np.asarray(params["means"][50:])
+    moved = np.asarray(out["means"][:50])
+    d = np.min(np.linalg.norm(moved[:, None] - live_means[None], axis=-1), 1)
+    assert np.all(d < 1e-6)
+
+
+def test_mcmc_noise_scales_with_opacity(rng):
+    n = 128
+    params = {
+        "means": jnp.zeros((n, 3)),
+        "scales": jnp.full((n, 3), 0.01),
+        "quats": jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (n, 1)),
+        "opacities": jnp.concatenate(
+            [jnp.full((n // 2,), 0.001), jnp.full((n // 2,), 1.0)]),
+        "sh0": jnp.zeros((n, 1, 3)),
+        "shN": jnp.zeros((n, 24, 3)),
+    }
+    out = add_position_noise(jax.random.PRNGKey(0), params, lr=1e-3)
+    move = np.linalg.norm(np.asarray(out["means"]), axis=-1)
+    assert move[: n // 2].mean() > 100 * max(move[n // 2:].mean(), 1e-12)
+
+
+def test_render_shapes_and_info(rng):
+    n = 32
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    pts[:, 2] += 3.0
+    cols = rng.uniform(size=(n, 3)).astype(np.float32)
+    cfg = SplatConfig()
+    state = init_gaussians(pts, cols, cfg)
+    w2c = np.tile(np.eye(4, dtype=np.float32)[None], (3, 1, 1))
+    K = np.tile(np.array([[30.0, 0, 16], [0, 30.0, 16], [0, 0, 1]],
+                         np.float32)[None], (3, 1, 1))
+    rgb, alpha, info = render(state.params, w2c, K, 32, 32, cfg)
+    assert rgb.shape == (3, 32, 32, 3)
+    assert alpha.shape == (3, 32, 32, 1)
+    assert info["means2d"].shape == (3, n, 2)
