@@ -16,13 +16,15 @@ import numpy as np
 
 
 def _timeit(fn, warmup=2, iters=10):
+    """Per-iteration blocking wall time. Blocking INSIDE the loop matters:
+    on this platform block_until_ready on the tail of an async chain was
+    observed to return early, reporting ~1000x optimistic times."""
     import jax
     for _ in range(warmup):
         jax.block_until_ready(fn())
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(out)
+        jax.block_until_ready(fn())
     return (time.perf_counter() - t0) / iters
 
 

@@ -128,8 +128,25 @@ def load_image(path: Union[str, Path], size: int = 224,
 
 
 def load_images(paths: Sequence[Union[str, Path]], size: int = 224,
-                crop_multiple: int = 16) -> List[np.ndarray]:
-    """Load a list of files (reference: starster/image.py:105-110)."""
+                crop_multiple: int = 16,
+                impl: str = "auto") -> List[np.ndarray]:
+    """Load a list of files (reference: starster/image.py:105-110).
+
+    impl: 'native' uses the C++ threaded preprocessing pipeline
+    (csrc/starst3r_native.cpp) — decode on the Python side, resize/crop/
+    normalize on a thread pool; 'pil' is the pure-Python path; 'auto'
+    prefers native when the library is built.
+    """
+    if impl == "auto":
+        from . import native
+        impl = "native" if native.available() else "pil"
+    if impl == "native":
+        from . import native
+        raws = []
+        for p in paths:
+            img = exif_transpose(Image.open(p)).convert("RGB")
+            raws.append(np.asarray(img))
+        return native.preprocess_batch(raws, size, crop_mult=crop_multiple)
     return [load_image(p, size, crop_multiple=crop_multiple) for p in paths]
 
 

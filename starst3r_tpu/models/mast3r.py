@@ -189,7 +189,9 @@ class Mast3rModel:
                              for im in images])  # (N, H, W, 3)
         results: List[PairPrediction] = []
         n = len(pair_indices)
-        bs = min(batch_size, n)
+        # under a sharding the batch must stay divisible by the mesh axis,
+        # so keep the full batch and let the tail pad
+        bs = batch_size if sharding is not None else min(batch_size, n)
         for start in range(0, n, bs):
             chunk = list(pair_indices[start: start + bs])
             pad = bs - len(chunk)

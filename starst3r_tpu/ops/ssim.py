@@ -19,10 +19,13 @@ __all__ = ("ssim", "psnr")
 
 @functools.lru_cache(maxsize=8)
 def _gaussian_window(size: int, sigma: float):
-    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
-    g = jnp.exp(-(x ** 2) / (2 * sigma ** 2))
-    g = g / jnp.sum(g)
-    return g
+    # pure numpy on purpose: under a jit trace even jnp.asarray(np_array)
+    # yields a Tracer, and caching a Tracer across jits raises
+    # UnexpectedTracerError — callers coerce per use
+    import numpy as np
+    x = np.arange(size, dtype=np.float32) - (size - 1) / 2.0
+    g = np.exp(-(x ** 2) / (2 * sigma ** 2))
+    return g / np.sum(g)
 
 
 def _filter2d(img, win):

@@ -1,1 +1,4 @@
-from .mesh import make_mesh, local_mesh, replicated, shard_along, P, NamedSharding
+from .distributed import (initialize_distributed, pair_sharding, replicate,
+                          shard_gs_state)
+from .mesh import (make_mesh, local_mesh, replicated, shard_along, P,
+                   NamedSharding)

@@ -156,6 +156,7 @@ def reconstruct_scene(
     window: int = 3,
     freeze: Optional[np.ndarray] = None,
     logger: Optional[MetricsLogger] = None,
+    mesh=None,
 ) -> Tuple[Reconstruction, GAParams]:
     """Run the full reconstruction pipeline.
 
@@ -180,9 +181,18 @@ def reconstruct_scene(
     cache = PairCache(tmpdir or cfg.scene.cache_dir)
     model_tag = _model_tag(model)
 
-    # ---- pairwise inference (cached) --------------------------------------
+    # ---- pairwise inference (cached; pair-parallel over the mesh) --------
     with timer("inference"):
-        preds = _cached_inference(model, imgs, pairs, cache, model_tag)
+        sharding = None
+        batch = 8
+        if mesh is not None:
+            from .parallel import pair_sharding
+            sharding = pair_sharding(mesh)
+            n_dev = int(np.prod(list(mesh.shape.values())))
+            batch = max(8, n_dev)
+            batch -= batch % n_dev
+        preds = _cached_inference(model, imgs, pairs, cache, model_tag,
+                                  sharding=sharding, batch_size=batch)
 
     # ---- matching on the subsample grid -----------------------------------
     with timer("matching"):
@@ -241,7 +251,8 @@ def _model_tag(model: Mast3rModel) -> str:
 
 
 def _cached_inference(model: Mast3rModel, imgs, pairs, cache: PairCache,
-                      model_tag: str) -> List[PairPrediction]:
+                      model_tag: str, sharding=None,
+                      batch_size: int = 8) -> List[PairPrediction]:
     img_keys = [content_key(np.asarray(im, np.float32)) for im in imgs]
     preds: List[Optional[PairPrediction]] = [None] * len(pairs)
     missing = []
@@ -256,7 +267,8 @@ def _cached_inference(model: Mast3rModel, imgs, pairs, cache: PairCache,
         else:
             missing.append((k, (i, j), key))
     if missing:
-        fresh = model.infer_pairs(imgs, [p for _, p, _ in missing])
+        fresh = model.infer_pairs(imgs, [p for _, p, _ in missing],
+                                  batch_size=batch_size, sharding=sharding)
         for (k, _, key), pred in zip(missing, fresh):
             preds[k] = pred
             if cache.dir:

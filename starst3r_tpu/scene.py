@@ -142,9 +142,48 @@ class Scene:
         from .utils.checkpoint import save_pytree
         state = {
             "c2w": self.c2w, "intrinsics": self.intrinsics,
+            "imgs": (np.stack(self.imgs).astype(np.float16)
+                     if self.imgs else np.zeros((0,), np.float16)),
             "optim_params": (tuple(self.optim_params)
                              if self.optim_params is not None else ()),
             "gaussians": (dict(self.gs_state.params)
                           if self.gs_state is not None else {}),
         }
         save_pytree(path, state)
+
+    @classmethod
+    def load(cls, path: str, cache_dir: Optional[str] = None,
+             config: Optional[Config] = None) -> "Scene":
+        """Restore a scene saved by :meth:`save` — poses, intrinsics, GT
+        images, GA warm-start params, and (if present) Gaussian state with a
+        fresh optimizer."""
+        from .alignment.ga import GAParams
+        from .utils.checkpoint import group_flat, load_flat
+
+        flat = load_flat(path)
+        scene = cls(cache_dir=cache_dir, config=config)
+        scene.c2w = np.asarray(flat["c2w"])
+        scene.intrinsics = np.asarray(flat["intrinsics"])
+        imgs = np.asarray(flat.get("imgs", np.zeros((0,))), np.float32)
+        if imgs.ndim == 4:
+            scene.imgs = [imgs[i] for i in range(imgs.shape[0])]
+            # processed (3,H,W) [-1,1] form, so add_images can continue
+            scene.raw_imgs = [im.transpose(2, 0, 1) * 2.0 - 1.0
+                              for im in scene.imgs]
+        op = group_flat(flat, "optim_params")
+        if op:
+            scene.optim_params = GAParams(
+                *[op[str(i)] for i in range(len(GAParams._fields))])
+        gauss = group_flat(flat, "gaussians")
+        if gauss:
+            import jax
+            import jax.numpy as jnp
+            import optax
+
+            from .splat.train import GSState
+            params = {k: jnp.asarray(v) for k, v in gauss.items()}
+            opt = optax.adam(scene.config.splat.lr)
+            scene.gs_state = GSState(
+                params=params, opt_state=opt.init(params),
+                step=jnp.asarray(0), key=jax.random.PRNGKey(0))
+        return scene

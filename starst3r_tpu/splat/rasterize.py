@@ -174,25 +174,34 @@ def _bin_gaussians(proj: Projected, tw: int, th: int, tile: int,
     return sorted_tile, sorted_idx, starts
 
 
-def _composite_tiles(proj: Projected, sorted_idx, starts, h: int, w: int,
-                     tile: int, tw: int, th: int, max_per_tile: int,
-                     chunk: int):
-    """Front-to-back alpha compositing per tile.
+def _gather_entries(proj: Projected, sorted_idx, starts, max_per_tile: int):
+    """Per-tile depth-ordered entry attributes (static capacity).
 
-    Returns rgb (H, W, 3), alpha (H, W).
-    """
-    t_total = tw * th
-    # per-tile entry slots (capped)
+    Returns (g_mean (T,K,2), g_conic (T,K,3), g_color (T,K,3),
+    g_op (T,K) zeroed beyond each tile's count, counts (T,))."""
     slot = jnp.arange(max_per_tile, dtype=jnp.int32)      # (K,)
     ent = starts[:-1, None] + slot[None, :]               # (T, K)
     ent_valid = ent < starts[1:, None]
     ent = jnp.minimum(ent, sorted_idx.shape[0] - 1)
     gidx = sorted_idx[ent]                                # (T, K)
-
     g_mean = proj.means2d[gidx]                           # (T, K, 2)
     g_conic = proj.conics[gidx]                           # (T, K, 3)
     g_color = proj.colors[gidx]                           # (T, K, 3)
     g_op = jnp.where(ent_valid, proj.opacities[gidx], 0.0)  # (T, K)
+    counts = jnp.minimum(starts[1:] - starts[:-1],
+                         max_per_tile).astype(jnp.int32)
+    return g_mean, g_conic, g_color, g_op, counts
+
+
+def _composite_tiles(g_mean, g_conic, g_color, g_op, h: int, w: int,
+                     tile: int, tw: int, th: int, max_per_tile: int,
+                     chunk: int):
+    """Front-to-back alpha compositing per tile (XLA reference path; the
+    Pallas kernel in pallas_composite.py is the TPU fast path).
+
+    Returns rgb (H, W, 3), alpha (H, W).
+    """
+    t_total = tw * th
 
     # pixel coordinates per tile: (T, P=tile*tile, 2)
     ty = jnp.arange(th)
@@ -250,32 +259,70 @@ def _composite_tiles(proj: Projected, sorted_idx, starts, h: int, w: int,
     return rgb, alpha
 
 
+def _default_impl() -> str:
+    import os
+
+    import jax as _jax
+    if os.environ.get("STARST3R_PALLAS", "0") == "1" \
+            and _jax.default_backend() == "tpu":
+        return "pallas"
+    return "ref"
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "sh_degree", "tile_size",
-                     "tile_window", "max_per_tile", "chunk"))
+                     "tile_window", "max_per_tile", "chunk", "impl"))
 def rasterize(means, quats, scales, opacities, sh, viewmats, Ks,
               width: int, height: int, sh_degree: int = 1,
               tile_size: int = 16, tile_window: int = 3,
-              max_per_tile: int = 1024, chunk: int = 64):
+              max_per_tile: int = 1024, chunk: int = 128,
+              impl: str = "auto"):
     """Render C cameras. means (N,3), quats (N,4) wxyz, scales (N,3) linear,
     opacities (N,) linear, sh (N,K,3), viewmats=w2c (C,4,4), Ks (C,3,3).
 
+    impl: 'pallas' (TPU kernels with early-exit + hand-written VJP),
+    'ref' (pure-XLA scan), or 'auto' (pallas on TPU else ref).
+
     Returns (rgb (C,H,W,3), alpha (C,H,W,1), info dict).
     """
+    if impl == "auto":
+        impl = _default_impl()
     tw = -(-width // tile_size)
     th = -(-height // tile_size)
 
-    def render_one(w2c, K):
+    def project_bin(w2c, K):
         proj = project_gaussians(means, quats, scales, opacities, sh, w2c, K,
                                  sh_degree)
         _, sorted_idx, starts = _bin_gaussians(proj, tw, th, tile_size,
                                                tile_window)
-        rgb, alpha = _composite_tiles(proj, sorted_idx, starts, height, width,
-                                      tile_size, tw, th, max_per_tile, chunk)
-        return rgb, alpha, proj.means2d, proj.radii, proj.depths
+        ents = _gather_entries(proj, sorted_idx, starts, max_per_tile)
+        return ents + (proj.means2d, proj.radii, proj.depths)
 
-    rgb, alpha, means2d, radii, depths = jax.vmap(render_one)(viewmats, Ks)
+    (g_mean, g_conic, g_color, g_op, counts, means2d, radii,
+     depths) = jax.vmap(project_bin)(viewmats, Ks)       # (C, T, ...) each
+
+    if impl == "pallas":
+        from .pallas_composite import _pack_attr, composite_entries
+        c = viewmats.shape[0]
+        t_total = tw * th
+        p = tile_size * tile_size
+        attr = _pack_attr(g_mean, g_conic, g_color, g_op)   # (C, T, A, K)
+        attr = attr.reshape(c * t_total, attr.shape[2], attr.shape[3])
+        rgb_t, tfin_t = composite_entries(
+            attr, counts.reshape(-1), tile_size, tw, th, chunk)
+        rgb_t = rgb_t.reshape(c, th, tw, 3, tile_size, tile_size)
+        rgb = rgb_t.transpose(0, 1, 4, 2, 5, 3).reshape(
+            c, th * tile_size, tw * tile_size, 3)[:, :height, :width]
+        a_t = (1.0 - tfin_t).reshape(c, th, tw, tile_size, tile_size)
+        alpha = a_t.transpose(0, 1, 3, 2, 4).reshape(
+            c, th * tile_size, tw * tile_size)[:, :height, :width]
+    else:
+        rgb, alpha = jax.vmap(
+            lambda gm, gc, gcl, go: _composite_tiles(
+                gm, gc, gcl, go, height, width, tile_size, tw, th,
+                max_per_tile, chunk))(g_mean, g_conic, g_color, g_op)
+
     info: Dict[str, jnp.ndarray] = {
         "means2d": means2d, "radii": radii, "depths": depths,
         "width": jnp.asarray(width), "height": jnp.asarray(height),

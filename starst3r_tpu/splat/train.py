@@ -97,7 +97,7 @@ def render(params: Dict[str, jnp.ndarray], w2c, Ks, width: int, height: int,
         params["means"], params["quats"], sc, op, params["shN"],
         jnp.asarray(w2c), jnp.asarray(Ks), width, height,
         sh_degree=cfg.sh_degree, tile_size=cfg.tile_size,
-        tile_window=3, max_per_tile=1024, chunk=64)
+        tile_window=3, max_per_tile=1024, chunk=128)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "cfg",
@@ -167,8 +167,17 @@ def run_optim(state: GSState, gt_images: np.ndarray, w2c: np.ndarray,
               Ks: np.ndarray, iters: int, cfg: SplatConfig,
               enable_pruning: bool = False,
               mcfg: MCMCConfig = MCMCConfig(),
-              verbose: bool = False) -> Tuple[GSState, List[float]]:
-    """The reference's run_3dgs_optim loop (gs.py:97-166)."""
+              verbose: bool = False,
+              mesh=None) -> Tuple[GSState, List[float]]:
+    """The reference's run_3dgs_optim loop (gs.py:97-166).
+
+    mesh: optional jax Mesh — Gaussians (and Adam moments) are sharded over
+    its first axis; cameras/GT replicate (SURVEY §2c splat row)."""
+    if mesh is not None:
+        from ..parallel import replicate, shard_gs_state
+        state = shard_gs_state(state, mesh)
+        gt_images = jax.device_put(jnp.asarray(gt_images, jnp.float32),
+                                   replicate(mesh))
     gt = jnp.asarray(gt_images, jnp.float32)
     c, h, w = gt.shape[0], gt.shape[1], gt.shape[2]
     w2c_j = jnp.asarray(w2c, jnp.float32)

@@ -23,7 +23,8 @@ from typing import Any, Dict
 import jax
 import numpy as np
 
-__all__ = ("save_pytree", "restore_pytree", "tree_prefix_overwrite")
+__all__ = ("save_pytree", "restore_pytree", "tree_prefix_overwrite",
+           "load_flat", "group_flat")
 
 _SEP = "/"
 
@@ -52,10 +53,14 @@ def save_pytree(path: str, tree: Any) -> None:
     d = os.path.dirname(os.path.abspath(path))
     if d:
         os.makedirs(d, exist_ok=True)
-    # record structure for reconstruction
+    # record structure for reconstruction; write through a file handle so
+    # np.savez cannot append ".npz" to extension-less paths like scene.ckpt
     structure = jax.tree_util.tree_structure(tree)
-    np.savez(path, __treedef__=np.frombuffer(
-        json.dumps(str(structure)).encode(), dtype=np.uint8), **flat)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, __treedef__=np.frombuffer(
+            json.dumps(str(structure)).encode(), dtype=np.uint8), **flat)
+    os.replace(tmp, path)
 
 
 def restore_pytree(path: str, like: Any) -> Any:
@@ -71,6 +76,19 @@ def restore_pytree(path: str, like: Any) -> Any:
             raise KeyError(f"checkpoint {path!r} missing leaf {key!r}")
         leaves.append(flat_saved[key])
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def load_flat(path: str) -> Dict[str, np.ndarray]:
+    """Load a checkpoint as a flat {path-key: array} dict (no ``like`` tree
+    needed — the keyed access the CLI uses)."""
+    with np.load(path, allow_pickle=False) as data:
+        return {k: data[k] for k in data.files if k != "__treedef__"}
+
+
+def group_flat(flat: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    """Sub-dict of keys under ``prefix + '/'``, with the prefix stripped."""
+    p = prefix + _SEP
+    return {k[len(p):]: v for k, v in flat.items() if k.startswith(p)}
 
 
 def tree_prefix_overwrite(new_tree: Any, prev_tree: Any, axis: int = 0) -> Any:

@@ -1,0 +1,88 @@
+"""Distribution tests on the 8-virtual-device CPU mesh (conftest sets
+xla_force_host_platform_device_count=8; SURVEY §7.6 "distributed" tier)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+import starst3r_tpu as st
+from starst3r_tpu.config import SplatConfig
+from starst3r_tpu.parallel import (make_mesh, pair_sharding, shard_gs_state)
+from starst3r_tpu.splat.train import init_gaussians, run_optim
+
+
+@pytest.fixture
+def mesh():
+    return Mesh(np.asarray(jax.devices()), ("data",))
+
+
+def test_mesh_has_8_devices(mesh):
+    assert np.prod(list(mesh.shape.values())) == 8
+
+
+def test_sharded_splat_training_matches_unsharded(mesh, rng):
+    n = 8 * 64
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    pts[:, 2] += 3.0
+    cols = rng.uniform(size=(n, 3)).astype(np.float32)
+    cfg = SplatConfig()
+    gt = rng.uniform(size=(2, 32, 32, 3)).astype(np.float32)
+    w2c = np.tile(np.eye(4, dtype=np.float32)[None], (2, 1, 1))
+    K = np.tile(np.array([[30.0, 0, 16], [0, 30.0, 16], [0, 0, 1]],
+                         np.float32)[None], (2, 1, 1))
+
+    s1, losses1 = run_optim(init_gaussians(pts, cols, cfg), gt, w2c, K,
+                            3, cfg)
+    s8, losses8 = run_optim(init_gaussians(pts, cols, cfg), gt, w2c, K,
+                            3, cfg, mesh=mesh)
+    np.testing.assert_allclose(losses1, losses8, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(s1.params["means"]),
+                               np.asarray(s8.params["means"]), atol=1e-5)
+
+
+def test_shard_gs_state_placement(mesh, rng):
+    n = 8 * 16
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    cols = rng.uniform(size=(n, 3)).astype(np.float32)
+    state = shard_gs_state(init_gaussians(pts, cols, SplatConfig()), mesh)
+    sh = state.params["means"].sharding
+    assert not sh.is_fully_replicated          # actually split over devices
+    assert jnp.asarray(state.step).sharding.is_fully_replicated
+
+
+def test_pair_parallel_reconstruction(mesh, rng):
+    """reconstruct_scene with a mesh: pair batch sharded over 8 devices;
+    result must match the meshless run (same math, different placement)."""
+    import dataclasses
+    cfg = st.default_config()
+    cfg = dataclasses.replace(
+        cfg, ga=dataclasses.replace(cfg.ga, niter1=6, niter2=3))
+    model = st.Mast3rModel.init_random(st.ModelConfig.tiny(),
+                                       image_hw=(64, 64))
+    imgs = [rng.uniform(-1, 1, size=(3, 64, 64)).astype(np.float32)
+            for _ in range(4)]
+    rec1, _ = st.reconstruct_scene(model, imgs, config=cfg)
+    rec8, _ = st.reconstruct_scene(model, imgs, config=cfg, mesh=mesh)
+    # cross-device reduction order shifts descriptor scores enough to flip
+    # borderline matches on random-init data; check structure + coarse pose
+    # agreement rather than bitwise equality
+    assert rec8.cam2w.shape == rec1.cam2w.shape
+    assert np.all(np.isfinite(rec8.cam2w))
+    np.testing.assert_allclose(rec1.cam2w, rec8.cam2w, atol=0.15)
+
+
+def test_infer_pairs_sharded_matches(mesh, rng):
+    model = st.Mast3rModel.init_random(st.ModelConfig.tiny(),
+                                       image_hw=(32, 32))
+    imgs = [rng.uniform(-1, 1, size=(3, 32, 32)).astype(np.float32)
+            for _ in range(3)]
+    pairs = [(0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1)]
+    r1 = model.infer_pairs(imgs, pairs, batch_size=8)
+    r8 = model.infer_pairs(imgs, pairs, batch_size=8,
+                           sharding=pair_sharding(mesh))
+    for a, b in zip(r1, r8):
+        # cross-device placement changes f32 reduction order slightly
+        np.testing.assert_allclose(a.pts1, b.pts1, atol=1e-3)
+        np.testing.assert_allclose(a.desc2, b.desc2, atol=1e-3)
