@@ -32,6 +32,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from starst3r_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
     from starst3r_tpu.config import SplatConfig, ModelConfig
     from starst3r_tpu.models.mast3r import Mast3rModel
     from starst3r_tpu.splat.train import init_gaussians, train_step

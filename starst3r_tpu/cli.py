@@ -270,6 +270,8 @@ _DISPATCH = {
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    from .utils import enable_compilation_cache
+    enable_compilation_cache()
     args = _build_parser().parse_args(argv)
     return _DISPATCH[args.cmd](args)
 

@@ -10,3 +10,4 @@ from .camera import (
 )
 from .metrics import MetricsLogger, Timer, timed
 from .checkpoint import save_pytree, restore_pytree, tree_prefix_overwrite
+from .jaxcache import enable_compilation_cache
