@@ -87,6 +87,13 @@ def _build_parser() -> argparse.ArgumentParser:
                      choices=["gaussians"],
                      help="which point set to export")
 
+    cvt = sub.add_parser("convert",
+                         help="convert public MASt3R .pth weights to .npz")
+    cvt.add_argument("--pth", required=True, help="torch checkpoint path")
+    cvt.add_argument("--out", required=True, help="output .npz path")
+    cvt.add_argument("--preset", default="large",
+                     choices=["tiny", "small", "base", "large"])
+
     sub.add_parser("bench", help="run the benchmark harness")
 
     sub.add_parser("info", help="print devices / versions / defaults")
@@ -238,6 +245,13 @@ def _cmd_export_ply(args) -> int:
     return 0
 
 
+def _cmd_convert(args) -> int:
+    from .io.torch_convert import convert_file
+    convert_file(args.pth, args.out, preset=args.preset)
+    print(f"[convert] wrote {args.out}")
+    return 0
+
+
 def _cmd_bench(_args) -> int:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, root)
@@ -264,6 +278,7 @@ _DISPATCH = {
     "train-gs": _cmd_train_gs,
     "render-path": _cmd_render_path,
     "export-ply": _cmd_export_ply,
+    "convert": _cmd_convert,
     "bench": _cmd_bench,
     "info": _cmd_info,
 }
