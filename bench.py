@@ -16,15 +16,23 @@ import numpy as np
 
 
 def _timeit(fn, warmup=2, iters=10):
-    """Per-iteration blocking wall time. Blocking INSIDE the loop matters:
-    on this platform block_until_ready on the tail of an async chain was
-    observed to return early, reporting ~1000x optimistic times."""
+    """Honest per-iteration wall time on the axon TPU tunnel.
+
+    `jax.block_until_ready` was observed to return early on this platform
+    (~1000x optimistic times), so the only trustworthy measure is to
+    wall-clock a chain of data-dependent iterations between two real host
+    transfers: `jax.device_get` of the output cannot materialize before the
+    device finishes the whole chain. `fn()` must return a SMALL array whose
+    value depends on the full computation (a scalar reduction)."""
     import jax
+    out = None
     for _ in range(warmup):
-        jax.block_until_ready(fn())
+        out = fn()
+    jax.device_get(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        jax.block_until_ready(fn())
+        out = fn()
+    jax.device_get(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -72,7 +80,9 @@ def main():
                       .astype(np.float32))
 
     def infer():
-        return model.infer_pair_batch(img, img)["pts1"]
+        # scalar reduction: keeps the host transfer tiny while still
+        # depending on the full forward pass
+        return model.infer_pair_batch(img, img)["pts1"].sum()
 
     dt_inf = _timeit(infer, warmup=2, iters=5)
     pairs_per_s = b / dt_inf
@@ -82,7 +92,7 @@ def main():
 
     def render_once():
         rgb, _, _ = render(holder["state"].params, w2c, K, w, h, cfg)
-        return rgb
+        return rgb.sum()
 
     dt_render = _timeit(render_once, warmup=2, iters=10)
     fps = n_cams / dt_render

@@ -139,7 +139,8 @@ def _mcmc_post_step(state: GSState, lr: float, cfg: SplatConfig,
     opt_state = state.opt_state
 
     if do_refine:
-        params, relocated = relocate_dead(k1, params, _opacity_fn(cfg))
+        params, relocated = relocate_dead(k1, params, _opacity_fn(cfg),
+                                          _scale_fn(cfg))
         # reset Adam moments of relocated slots
         def reset(leaf_state, param_name_mask):
             return leaf_state
@@ -158,7 +159,7 @@ def _mcmc_post_step(state: GSState, lr: float, cfg: SplatConfig,
         opt_state = (inner, rest)
 
     params = add_position_noise(k2, params, lr, mcfg.noise_lr,
-                                _opacity_fn(cfg))
+                                _opacity_fn(cfg), _scale_fn(cfg))
     return GSState(params=params, opt_state=opt_state, step=state.step,
                    key=key)
 
