@@ -20,18 +20,20 @@ def _timeit(fn, warmup=2, iters=10):
 
     `jax.block_until_ready` was observed to return early on this platform
     (~1000x optimistic times), so the only trustworthy measure is to
-    wall-clock a chain of data-dependent iterations between two real host
-    transfers: `jax.device_get` of the output cannot materialize before the
-    device finishes the whole chain. `fn()` must return a SMALL array whose
-    value depends on the full computation (a scalar reduction)."""
+    wall-clock a chain of DATA-DEPENDENT iterations between two real host
+    transfers: `fn(carry)` must fold the previous iteration's scalar output
+    into its inputs and return a new scalar, so the device cannot overlap
+    or reorder dispatches, and `jax.device_get` of the final scalar cannot
+    materialize before the whole chain finishes."""
     import jax
-    out = None
+    import jax.numpy as jnp
+    out = jnp.asarray(0.0, jnp.float32)
     for _ in range(warmup):
-        out = fn()
+        out = fn(out)
     jax.device_get(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn()
+        out = fn(out)
     jax.device_get(out)
     return (time.perf_counter() - t0) / iters
 
@@ -64,8 +66,11 @@ def main():
 
     holder = {"state": state}
 
-    def step():
-        s, loss = train_step(holder["state"], gt, w2c, K, w, h, cfg, n_cams)
+    def step(carry):
+        # fold the previous loss into the GT (×1e-20: numerically inert) so
+        # successive steps form a true device-side dependency chain
+        s, loss = train_step(holder["state"], gt + carry * 1e-20, w2c, K,
+                             w, h, cfg, n_cams)
         holder["state"] = s
         return loss
 
@@ -79,10 +84,11 @@ def main():
     img = jnp.asarray(rng.uniform(-1, 1, size=(b, 224, 224, 3))
                       .astype(np.float32))
 
-    def infer():
-        # scalar reduction: keeps the host transfer tiny while still
-        # depending on the full forward pass
-        return model.infer_pair_batch(img, img)["pts1"].sum()
+    def infer(carry):
+        # scalar reduction keeps the host transfer tiny while depending on
+        # the full forward pass; carry chains successive dispatches
+        x = img + carry * 1e-20
+        return model.infer_pair_batch(x, x)["pts1"].sum()
 
     dt_inf = _timeit(infer, warmup=2, iters=5)
     pairs_per_s = b / dt_inf
@@ -90,8 +96,12 @@ def main():
     # ---------------- render-only fps -------------------------------------
     from starst3r_tpu.splat.train import render
 
-    def render_once():
-        rgb, _, _ = render(holder["state"].params, w2c, K, w, h, cfg)
+    params = holder["state"].params
+
+    def render_once(carry):
+        p = dict(params)
+        p["means"] = p["means"] + carry * 1e-20
+        rgb, _, _ = render(p, w2c, K, w, h, cfg)
         return rgb.sum()
 
     dt_render = _timeit(render_once, warmup=2, iters=10)

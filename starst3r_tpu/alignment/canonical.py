@@ -17,6 +17,7 @@ bookkeeping is host-side (N is small).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Dict, List, Sequence, Tuple
 
@@ -50,14 +51,51 @@ class CanonicalView:
 def _weighted_average(pts_stack: jnp.ndarray, conf_stack: jnp.ndarray):
     """pts_stack: (P, H, W, 3); conf_stack: (P, H, W) -> canonical pts/conf.
 
-    Confidence weights are (conf - 1) so the "no information" level conf=1
-    contributes zero weight (conf = 1 + exp(raw) >= 1).
+    Confidence weights are (conf - 0.999) — near-zero at the "no
+    information" level conf=1 (conf = 1 + exp(raw) >= 1) but never exactly
+    zero, matching the reference's canonical_view weighting. The aggregated
+    confidence is the weight-weighted mean of the weights (sum(w^2)/sum(w),
+    the reference's scoring), shifted back onto the 1+exp(raw) scale so
+    downstream conf thresholds keep their meaning.
     """
-    w = jnp.maximum(conf_stack - 1.0, 0.0)[..., None]
+    w = jnp.maximum(conf_stack - 0.999, 1e-8)[..., None]
     wsum = jnp.maximum(jnp.sum(w, axis=0), 1e-8)
     pts = jnp.sum(pts_stack * w, axis=0) / wsum
-    conf = jnp.mean(conf_stack, axis=0)
+    conf = 0.999 + jnp.sum(w[..., 0] ** 2, axis=0) / wsum[..., 0]
     return pts, conf
+
+
+@functools.partial(jax.jit, static_argnames=("subsample",))
+def _avg_angle_depth(pts_stack: jnp.ndarray, conf_stack: jnp.ndarray,
+                     subsample: int) -> jnp.ndarray:
+    """The reference's mode='avg-angle' canonical depth (canonical_view in
+    mast3r's sparse_ga; call-site reference reconstruct.py:101-102).
+
+    Instead of averaging depths directly, each dense pixel's depth is
+    expressed relative to its anchor-block center as an ELEVATION ANGLE
+    arctan((d - d_center) / radius_xy): angles are scale-free, so
+    predictions that disagree on absolute scale still vote consistently on
+    local surface slope. The confidence-averaged angle is converted back
+    with the mean radius around the mean center depth.
+
+    pts_stack (P, H, W, 3), conf_stack (P, H, W); H, W divisible by
+    subsample. Returns the canonical dense depth (H, W).
+    """
+    s = subsample
+    off = s // 2
+    w = jnp.maximum(conf_stack - 0.999, 1e-8)             # (P, H, W)
+    depth = pts_stack[..., 2]
+    xy = pts_stack[..., :2]
+    ctr_xy = xy[:, off::s, off::s, :]                     # (P, hs, ws, 2)
+    ctr_d = depth[:, off::s, off::s]                      # (P, hs, ws)
+    ctr_xy_d = jnp.repeat(jnp.repeat(ctr_xy, s, axis=1), s, axis=2)
+    ctr_d_d = jnp.repeat(jnp.repeat(ctr_d, s, axis=1), s, axis=2)
+    radius = jnp.maximum(
+        jnp.linalg.norm(xy - ctr_xy_d, axis=-1), 1e-8)    # (P, H, W)
+    angle = jnp.arctan((depth - ctr_d_d) / radius)
+    avg_angle = jnp.sum(w * angle, axis=0) / jnp.maximum(
+        jnp.sum(w, axis=0), 1e-8)                         # (H, W)
+    return ctr_d_d.mean(0) + radius.mean(0) * jnp.tan(avg_angle)
 
 
 def compute_anchors(depth: np.ndarray, subsample: int):
@@ -86,8 +124,17 @@ def build_canonical_views(
     n_images: int,
     preds: Sequence[PairPrediction],
     subsample: int = 8,
+    mode: str = "avg-angle",
 ) -> Tuple[List[CanonicalView], Dict[Tuple[int, int], Tuple[np.ndarray, np.ndarray]]]:
     """Aggregate pairwise predictions into canonical views.
+
+    ``mode``: 'avg-angle' (the reference's default — scale-free angle
+    aggregation of the canonical depth, reference reconstruct.py:101-102)
+    or 'conf' (plain confidence-weighted depth). In both modes the
+    canonical POINTMAP is the confidence-weighted average; avg-angle
+    replaces the dense depth used for anchors. Falls back to 'conf' when
+    H or W is not divisible by subsample (the angle scheme needs exact
+    anchor blocks; the default image pipeline crops to multiples of 16).
 
     Returns (views, preds_21) where preds_21[(j, i)] = (pts (hs*ws, 3),
     confs (hs*ws,)): image i's points predicted **in image j's frame** on the
@@ -127,7 +174,12 @@ def build_canonical_views(
         # guard degenerate focals (random-init nets in tests)
         diag = float(np.hypot(h, w))
         focal = float(np.clip(focal, 0.25 * diag, 10.0 * diag))
-        depth = np.maximum(pts[..., 2], 1e-6)
+        if mode == "avg-angle" and h % subsample == 0 and w % subsample == 0:
+            depth = np.maximum(
+                np.asarray(_avg_angle_depth(pts_stack, conf_stack,
+                                            subsample)), 1e-6)
+        else:
+            depth = np.maximum(pts[..., 2], 1e-6)
         core, anchor_idx, offset = compute_anchors(depth, subsample)
         views.append(CanonicalView(
             pts3d=pts, conf=conf, depth=depth, focal=focal, pp=pp,

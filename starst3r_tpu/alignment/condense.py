@@ -63,11 +63,16 @@ def condense(
     image_hw: Tuple[int, int],
     subsample: int,
     matching_conf_thr: float = 5.0,
+    max_corres_per_pair: int = 0,
 ) -> CondensedData:
+    """``max_corres_per_pair`` > 0 caps each pair's correspondence slots:
+    when the core grid is larger, only the top-confidence matches are kept
+    (memory cap for high-resolution grids; 0 = keep the full grid)."""
     h, w = image_hw
     grid, hs, ws = subsample_grid_indices(h, w, subsample)
     grid = np.asarray(grid)
     s = grid.shape[0]
+    m_slots = min(s, max_corres_per_pair) if max_corres_per_pair > 0 else s
     c = len(views)
     pairs = sorted(matches.keys())
     p = len(pairs)
@@ -80,12 +85,12 @@ def condense(
     core_depth = core_raw / np.maximum(median_depths[:, None], 1e-8)
     core_pix = np.stack([grid % w, grid // w], axis=-1).astype(np.float32)
 
-    corr_img1 = np.zeros((p, s), np.int32)
-    corr_idx1 = np.zeros((p, s), np.int32)
-    corr_img2 = np.zeros((p, s), np.int32)
-    corr_idx2 = np.zeros((p, s), np.int32)
-    corr_conf = np.zeros((p, s), np.float32)
-    corr_pair = np.zeros((p, s), np.int32)
+    corr_img1 = np.zeros((p, m_slots), np.int32)
+    corr_idx1 = np.zeros((p, m_slots), np.int32)
+    corr_img2 = np.zeros((p, m_slots), np.int32)
+    corr_idx2 = np.zeros((p, m_slots), np.int32)
+    corr_conf = np.zeros((p, m_slots), np.float32)
+    corr_pair = np.zeros((p, m_slots), np.int32)
     pair_img1 = np.zeros(p, np.int32)
     pair_img2 = np.zeros(p, np.int32)
     pair_max_conf = np.zeros(p, np.float32)
@@ -95,11 +100,15 @@ def condense(
     for k, (i, j) in enumerate(pairs):
         m = matches[(i, j)]
         conf = np.asarray(m.conf) * np.asarray(m.mask)
+        if m_slots < conf.shape[0]:
+            sel = np.argpartition(conf, -m_slots)[-m_slots:]
+        else:
+            sel = slice(None)
         corr_img1[k] = i
-        corr_idx1[k] = np.asarray(m.idx1)
+        corr_idx1[k] = np.asarray(m.idx1)[sel]
         corr_img2[k] = j
-        corr_idx2[k] = np.asarray(m.idx2)
-        corr_conf[k] = conf.astype(np.float32)
+        corr_idx2[k] = np.asarray(m.idx2)[sel]
+        corr_conf[k] = conf[sel].astype(np.float32)
         corr_pair[k] = k
         pair_img1[k] = i
         pair_img2[k] = j

@@ -130,16 +130,32 @@ def make_state(data: CondensedData, mst: Tuple[int, Any],
 
 
 def make_K_cam_depth(params: GAParams, state: GAState,
-                     depth_mode: str = "add"):
+                     depth_mode: str = "add",
+                     shared_intrinsics: bool = False):
     """The reparameterization core (reference reconstruct.py:209-261).
+
+    ``shared_intrinsics`` (reference reconstruct.py:67, sparse_ga's
+    shared_intrinsics=True): a single focal + principal point is shared by
+    all cameras. Implemented by tying the per-camera leaves through their
+    mean — every leaf receives an identical gradient, so under Adam the
+    shared value evolves exactly like one parameter while the pytree shape
+    stays static.
 
     Returns (K (C,3,3), w2c, cam2w (C,4,4), depth (C,S) core-grid metric
     depth). Fully differentiable; runs inside the loss jit.
     """
     c = params.pps.shape[0]
-    focals = jnp.clip(jnp.exp(params.log_focals),
+    if shared_intrinsics:
+        log_f = jnp.broadcast_to(jnp.mean(params.log_focals),
+                                 params.log_focals.shape)
+        pps = jnp.broadcast_to(jnp.mean(params.pps, axis=0, keepdims=True),
+                               params.pps.shape)
+    else:
+        log_f = params.log_focals
+        pps = params.pps
+    focals = jnp.clip(jnp.exp(log_f),
                       state.min_focals, state.max_focals)  # (C,)
-    pp_pix = params.pps * state.imsizes                     # (C, 2)
+    pp_pix = pps * state.imsizes                            # (C, 2)
     K = jnp.zeros((c, 3, 3), jnp.float32)
     K = K.at[:, 0, 0].set(focals)
     K = K.at[:, 1, 1].set(focals)
@@ -179,7 +195,7 @@ def make_K_cam_depth(params: GAParams, state: GAState,
     # plane (reconstruct.py:240-244)
     ones = jnp.ones((c, 1), jnp.float32)
     trans_offset = z_cameras[:, None] * jnp.concatenate(
-        [state.imsizes / focals[:, None] * (0.5 - params.pps), ones], axis=-1)
+        [state.imsizes / focals[:, None] * (0.5 - pps), ones], axis=-1)
     new_trans = global_scaling * (
         cam2w_chain[:, :3, 3]
         - jnp.einsum("cij,cj->ci", cam2w_chain[:, :3, :3], trans_offset))
@@ -316,7 +332,8 @@ def _optimize_phase(params: GAParams, state: GAState, niter: int,
     )
 
     def loss_fn(p, step):
-        K, w2c, cam2w, depth = make_K_cam_depth(p, state, cfg.depth_mode)
+        K, w2c, cam2w, depth = make_K_cam_depth(p, state, cfg.depth_mode,
+                                                cfg.shared_intrinsics)
         pts3d = _core_pts3d(K, cam2w, depth, state)
         alpha = 1.0 - step.astype(jnp.float32) / max(niter, 1)
         if phase == 1:
@@ -388,7 +405,8 @@ def run_global_alignment(
         params, loss2 = _optimize_phase(
             params, state, cfg.niter2, cfg.lr2, cfg.lr_end, cfg.gamma2, 2, cfg)
 
-    K, w2c, cam2w, depth = make_K_cam_depth(params, state, cfg.depth_mode)
+    K, w2c, cam2w, depth = make_K_cam_depth(params, state, cfg.depth_mode,
+                                            cfg.shared_intrinsics)
     pts3d = _core_pts3d(K, cam2w, depth, state)
     result = GAResult(K=K, w2c=w2c, cam2w=cam2w, depth=depth, pts3d=pts3d,
                       loss_coarse=float(loss1), loss_fine=float(loss2))

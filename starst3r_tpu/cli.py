@@ -33,6 +33,10 @@ def _build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="starst3r", description="TPU-native 3D reconstruction + "
         "novel-view synthesis (Starst3r-compatible pipeline)")
+    ap.add_argument("--trace-dir", default=None,
+                    help="write jax.profiler device traces for each "
+                    "pipeline phase into this directory (TensorBoard "
+                    "format); equivalent to setting STARST3R_TRACE_DIR")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     rec = sub.add_parser("reconstruct", help="images -> poses + point cloud")
@@ -57,6 +61,13 @@ def _build_parser() -> argparse.ArgumentParser:
                      help="feed images in batches of this size through "
                      "add_images (exercises the SLAM warm-start path); "
                      "0 = all at once")
+    rec.add_argument("--refine-lm", action="store_true",
+                     help="polish the GA poses with Levenberg-Marquardt "
+                     "over absolute poses (+focal)")
+    rec.add_argument("--lm-iters", type=int, default=12)
+    rec.add_argument("--shared-intrinsics", action="store_true",
+                     help="optimize one focal + principal point shared by "
+                     "all cameras (reference reconstruct.py:67)")
 
     tgs = sub.add_parser("train-gs", help="continue 3DGS from a checkpoint")
     tgs.add_argument("--scene", required=True, help="scene.ckpt path")
@@ -124,14 +135,16 @@ def _cmd_reconstruct(args) -> int:
 
     cfg = st.default_config()
     cfg = dataclasses.replace(cfg, model=st.model_preset(args.preset))
-    if args.ga_iters1 is not None or args.ga_iters2 is not None:
-        ga = dataclasses.replace(
-            cfg.ga,
-            niter1=args.ga_iters1 if args.ga_iters1 is not None
-            else cfg.ga.niter1,
-            niter2=args.ga_iters2 if args.ga_iters2 is not None
-            else cfg.ga.niter2)
-        cfg = dataclasses.replace(cfg, ga=ga)
+    ga = dataclasses.replace(
+        cfg.ga,
+        niter1=args.ga_iters1 if args.ga_iters1 is not None
+        else cfg.ga.niter1,
+        niter2=args.ga_iters2 if args.ga_iters2 is not None
+        else cfg.ga.niter2,
+        refine_lm=bool(args.refine_lm),
+        lm_iters=args.lm_iters,
+        shared_intrinsics=bool(args.shared_intrinsics))
+    cfg = dataclasses.replace(cfg, ga=ga)
 
     if args.model:
         model = st.Mast3rModel.from_pretrained(args.model)
@@ -288,6 +301,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     from .utils import enable_compilation_cache
     enable_compilation_cache()
     args = _build_parser().parse_args(argv)
+    if args.trace_dir:
+        os.environ["STARST3R_TRACE_DIR"] = args.trace_dir
     return _DISPATCH[args.cmd](args)
 
 

@@ -109,6 +109,9 @@ class MatchingConfig:
     # padded per-pair correspondence capacity; (H/sub)*(W/sub) upper bound is
     # applied automatically, this is an additional cap for memory.
     max_corres_per_pair: int = 4096
+    # canonical depth aggregation: 'avg-angle' (reference default,
+    # reconstruct.py:101-102) or 'conf' (plain confidence weighting)
+    canonical_mode: str = "avg-angle"
 
 
 @dataclass(frozen=True)
@@ -131,6 +134,12 @@ class GAConfig:
     adam_b2: float = 0.9            # reference uses betas=(0.9, 0.9) (:373)
     lr_end: float = 0.0
     depth_mode: str = "add"
+    # post-GA Levenberg–Marquardt refinement of absolute poses (+focal)
+    # over the 3D-3D correspondences (alignment/lm.py; the scale path the
+    # Adam GA's chained parameterization cannot serve — SURVEY §7.2 layer 5)
+    refine_lm: bool = False
+    lm_iters: int = 12
+    lm_damping: float = 1e-3
     # focal clamping (reconstruct.py:204-206)
     min_focal_factor: float = 0.25
     max_focal_factor: float = 10.0
@@ -148,13 +157,22 @@ class SplatConfig:
     loss_opacity_fac: float = 0.01  # gs.py:102
     loss_scale_fac: float = 0.01    # gs.py:103
     tile_size: int = 16             # gsplat-style 16x16 tiles
-    max_tiles_per_gaussian: int = 16  # static expansion for tile binning
-    # MCMC relocation strategy (gsplat MCMCStrategy analog, SURVEY §2b)
-    cap_max: int = 1_000_000        # fixed Gaussian pool capacity ceiling
+    # static per-Gaussian tile-entry budget: each Gaussian's projected bbox
+    # is enumerated exactly up to this many tiles (overflow is COUNTED in
+    # info["n_tiles_clipped"], never silent)
+    max_tiles_per_gaussian: int = 16
+    max_per_tile: int = 1024        # per-tile entry capacity (overflow
+                                    # counted in info["tile_overflow"])
+    chunk: int = 128                # compositing chunk length
+    # MCMC relocation + growth strategy (gsplat MCMCStrategy analog,
+    # SURVEY §2b; defaults = gsplat MCMCStrategy defaults)
+    cap_max: int = 1_000_000        # Gaussian pool growth ceiling
     mcmc_min_opacity: float = 0.005
     mcmc_noise_lr: float = 5e5
     mcmc_refine_every: int = 100
-    mcmc_refine_start: int = 100
+    mcmc_refine_start: int = 500
+    mcmc_refine_stop: int = 25_000
+    mcmc_grow_factor: float = 1.05  # +5% alive slots per refine
     # compat quirks (SURVEY §2a quirk list — reproduce reference by default)
     compat_inverted_sh: bool = True     # SH init is (1 - color) in all bands
     compat_raw_activations: bool = True # raw opacity/scale to rasterizer

@@ -72,4 +72,5 @@ def shard_gs_state(state, mesh: Mesh, axis: Optional[str] = None):
     return state._replace(
         params=params, opt_state=opt_state,
         step=jax.device_put(state.step, repl),
-        key=jax.device_put(state.key, repl))
+        key=jax.device_put(state.key, repl),
+        n_alive=jax.device_put(state.n_alive, repl))

@@ -33,6 +33,7 @@ from .io.cache import PairCache, content_key
 from .models.mast3r import Mast3rModel, PairPrediction
 from .ops.matching import PairMatches, match_pair
 from .utils.metrics import MetricsLogger, Timer
+from .utils.profiling import trace_if
 
 __all__ = ("Reconstruction", "reconstruct_scene")
 
@@ -182,7 +183,7 @@ def reconstruct_scene(
     model_tag = _model_tag(model)
 
     # ---- pairwise inference (cached; pair-parallel over the mesh) --------
-    with timer("inference"):
+    with timer("inference"), trace_if("inference"):
         sharding = None
         batch = 8
         if mesh is not None:
@@ -206,7 +207,8 @@ def reconstruct_scene(
     # ---- canonical views + MST -------------------------------------------
     with timer("canonical"):
         views, preds_21 = build_canonical_views(
-            n, preds, subsample=cfg.matching.subsample)
+            n, preds, subsample=cfg.matching.subsample,
+            mode=cfg.matching.canonical_mode)
         scores = np.zeros((n, n))
         for (i, j), m in matches.items():
             scores[i, j] = float(np.sum(m.conf * m.mask))
@@ -215,10 +217,41 @@ def reconstruct_scene(
     # ---- condense + GA ----------------------------------------------------
     with timer("condense"):
         data = condense(views, matches, preds_21, (h, w),
-                        cfg.matching.subsample, cfg.ga.matching_conf_thr)
-    with timer("ga"):
+                        cfg.matching.subsample, cfg.ga.matching_conf_thr,
+                        max_corres_per_pair=cfg.matching.max_corres_per_pair)
+    with timer("ga"), trace_if("ga"):
         result, params = run_global_alignment(
             data, mst, cfg.ga, prev_params=optim_params, freeze=freeze)
+
+    cam2w_out = np.asarray(result.cam2w)
+    K_out = np.asarray(result.K)
+    if cfg.ga.refine_lm:
+        # post-GA LM/Gauss-Newton polish over ABSOLUTE poses: the GA's
+        # chained parameterization is great for initialization but couples
+        # every camera to its MST ancestors; LM re-solves the decoupled
+        # problem around the GA optimum (alignment/lm.py docstring)
+        with timer("lm_refine"), trace_if("lm_refine"):
+            from .alignment.lm import lm_refine
+            conf = (np.asarray(data.corr_conf)
+                    * np.asarray(data.pair_matching_ok)[
+                        np.asarray(data.corr_pair)])
+            if freeze is not None:
+                both = (np.asarray(freeze)[data.corr_img1]
+                        & np.asarray(freeze)[data.corr_img2])
+                conf = conf * (~both)
+            cam2w_out, focals_r, lm_costs = lm_refine(
+                cam2w_out, K_out[:, 0, 0], K_out[:, :2, 2],
+                np.asarray(result.depth), np.asarray(data.core_pix),
+                np.asarray(data.corr_img1), np.asarray(data.corr_idx1),
+                np.asarray(data.corr_img2), np.asarray(data.corr_idx2),
+                conf.astype(np.float32), iters=cfg.ga.lm_iters,
+                damping=cfg.ga.lm_damping, mesh=mesh)
+            K_out = K_out.copy()
+            K_out[:, 0, 0] = focals_r
+            K_out[:, 1, 1] = focals_r
+            if logger is not None and lm_costs:
+                logger.log("lm_refine", cost_first=lm_costs[0],
+                           cost_last=lm_costs[-1], iters=len(lm_costs))
 
     if logger is not None:
         logger.log("reconstruct", n_images=n, n_pairs=len(pairs),
@@ -229,8 +262,8 @@ def reconstruct_scene(
                for im in imgs]
     rec = Reconstruction(
         imgs=display,
-        cam2w=np.asarray(result.cam2w),
-        intrinsics=np.asarray(result.K),
+        cam2w=cam2w_out,
+        intrinsics=K_out,
         core_depth=np.asarray(result.depth),
         views=views,
         subsample=cfg.matching.subsample,
@@ -241,11 +274,30 @@ def reconstruct_scene(
 
 
 def _model_tag(model: Mast3rModel) -> str:
+    """Deterministic digest of EVERY parameter leaf.
+
+    A per-leaf (sum, l2, min, max) fingerprint is reduced on device (tiny
+    host transfer even for ViT-large) and hashed together with each leaf's
+    path/shape/dtype: any changed leaf — e.g. a fine-tune sharing a frozen
+    patch embed with another checkpoint — changes the tag, so the pair
+    cache cannot serve stale predictions across checkpoints."""
     tag = getattr(model, "_tag", None)
     if tag is None:
-        leaves = jax.tree_util.tree_leaves(model.params)
-        probe = np.asarray(leaves[0]).reshape(-1)[:64] if leaves else np.zeros(1)
-        tag = content_key(model.cfg, len(leaves), probe)
+        paths = jax.tree_util.tree_flatten_with_path(model.params)[0]
+        if paths:
+            @jax.jit
+            def _fp(params):
+                leaves = jax.tree_util.tree_leaves(params)
+                return jnp.stack([
+                    jnp.stack([x.sum(), (x.astype(jnp.float32) ** 2).sum(),
+                               x.min(), x.max()])
+                    for x in (l.astype(jnp.float32) for l in leaves)])
+            fp = np.asarray(jax.device_get(_fp(model.params)), np.float64)
+            meta = [(jax.tree_util.keystr(k), v.shape, str(v.dtype))
+                    for k, v in paths]
+            tag = content_key(model.cfg, str(meta), fp)
+        else:
+            tag = content_key(model.cfg, 0, np.zeros(1))
         model._tag = tag
     return tag
 

@@ -142,12 +142,20 @@ class Scene:
         from .utils.checkpoint import save_pytree
         state = {
             "c2w": self.c2w, "intrinsics": self.intrinsics,
-            "imgs": (np.stack(self.imgs).astype(np.float16)
-                     if self.imgs else np.zeros((0,), np.float16)),
+            # store the PROCESSED images exactly (float32): a save/load/
+            # train-gs round trip must optimize against bit-identical GT and
+            # re-derive identical pair-cache content keys (no re-quantization)
+            "raw_imgs": (np.stack(self.raw_imgs).astype(np.float32)
+                         if self.raw_imgs else np.zeros((0,), np.float32)),
+            "imgs": (np.stack(self.imgs).astype(np.float32)
+                     if self.imgs else np.zeros((0,), np.float32)),
             "optim_params": (tuple(self.optim_params)
                              if self.optim_params is not None else ()),
             "gaussians": (dict(self.gs_state.params)
                           if self.gs_state is not None else {}),
+            "gs_n_alive": (np.asarray(self.gs_state.n_alive)
+                           if self.gs_state is not None
+                           else np.asarray(0, np.int32)),
         }
         save_pytree(path, state)
 
@@ -167,7 +175,13 @@ class Scene:
         imgs = np.asarray(flat.get("imgs", np.zeros((0,))), np.float32)
         if imgs.ndim == 4:
             scene.imgs = [imgs[i] for i in range(imgs.shape[0])]
-            # processed (3,H,W) [-1,1] form, so add_images can continue
+        raw = np.asarray(flat.get("raw_imgs", np.zeros((0,))), np.float32)
+        if raw.ndim == 4:
+            # exact processed (3,H,W) [-1,1] arrays: add_images continues
+            # with bit-identical inputs (stable cache keys)
+            scene.raw_imgs = [raw[i] for i in range(raw.shape[0])]
+        elif imgs.ndim == 4:
+            # legacy checkpoints without raw_imgs: rebuild (approximate)
             scene.raw_imgs = [im.transpose(2, 0, 1) * 2.0 - 1.0
                               for im in scene.imgs]
         op = group_flat(flat, "optim_params")
@@ -183,7 +197,11 @@ class Scene:
             from .splat.train import GSState
             params = {k: jnp.asarray(v) for k, v in gauss.items()}
             opt = optax.adam(scene.config.splat.lr)
+            n_alive = flat.get("gs_n_alive", None)
+            if n_alive is None or int(n_alive) <= 0:
+                n_alive = params["means"].shape[0]
             scene.gs_state = GSState(
                 params=params, opt_state=opt.init(params),
-                step=jnp.asarray(0), key=jax.random.PRNGKey(0))
+                step=jnp.asarray(0), key=jax.random.PRNGKey(0),
+                n_alive=jnp.asarray(int(n_alive), jnp.int32))
         return scene

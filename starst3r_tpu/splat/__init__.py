@@ -22,9 +22,14 @@ __all__ = (
 )
 
 
-def init_3dgs(scene, init_scale: float = 3e-3, lr: float = 1e-3):
+def init_3dgs(scene, init_scale: float = 3e-3, lr: float = 1e-3,
+              pool_size: int = 0):
     """Initialize splats + optimizer from the scene's dense points
-    (reference: starster/gs.py:14-45)."""
+    (reference: starster/gs.py:14-45).
+
+    pool_size > N reserves inactive capacity so MCMC growth toward
+    `SplatConfig.cap_max` can activate slots (static shapes, see mcmc.py).
+    """
     cfg = scene.config.splat
     if init_scale != cfg.init_scale or lr != cfg.lr:
         import dataclasses
@@ -32,7 +37,7 @@ def init_3dgs(scene, init_scale: float = 3e-3, lr: float = 1e-3):
         scene.config = dataclasses.replace(scene.config, splat=cfg)
     pts = scene.dense_pts_flat
     cols = scene.dense_cols_flat
-    scene.gs_state = init_gaussians(pts, cols, cfg)
+    scene.gs_state = init_gaussians(pts, cols, cfg, pool_size=pool_size)
     return scene.gs_state
 
 

@@ -134,12 +134,17 @@ def project_gaussians(means, quats, scales, opacities, sh, w2c, K,
 
 
 def _bin_gaussians(proj: Projected, tw: int, th: int, tile: int,
-                   window: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                   max_tiles: int):
     """Emit (tile_id, depth, idx) entries, sorted by (tile, depth).
 
-    Each Gaussian covers a window x window tile neighborhood anchored at its
-    bbox min (tiles beyond its bbox are masked). Returns
-    (sorted_tile (L,), sorted_idx (L,), tile_starts (T+1,)).
+    Each Gaussian's projected bbox (center ± radius, clipped to the image)
+    is enumerated EXACTLY in row-major order up to ``max_tiles`` entries —
+    no fixed-window anchoring, so any Gaussian whose bbox fits the budget
+    is binned into every tile it touches regardless of radius or position.
+    Gaussians whose bbox exceeds the budget are truncated and COUNTED
+    (returned as ``n_clipped``; surfaced via info["n_tiles_clipped"]).
+    Returns (sorted_tile (L,), sorted_idx (L,), tile_starts (T+1,),
+    n_clipped ()).
     """
     n = proj.means2d.shape[0]
     t_total = tw * th
@@ -151,15 +156,17 @@ def _bin_gaussians(proj: Projected, tw: int, th: int, tile: int,
     ty0 = jnp.clip(ty0, 0, th - 1).astype(jnp.int32)
     tx1 = jnp.clip(tx1, 0, tw - 1).astype(jnp.int32)
     ty1 = jnp.clip(ty1, 0, th - 1).astype(jnp.int32)
+    bw = tx1 - tx0 + 1                                    # (N,) >= 1
+    area = bw * (ty1 - ty0 + 1)
 
-    offs_y = jnp.repeat(jnp.arange(window), window)       # (window^2,)
-    offs_x = jnp.tile(jnp.arange(window), window)
-    ty = ty0[:, None] + offs_y[None, :]                   # (N, E)
-    tx = tx0[:, None] + offs_x[None, :]
-    ok = (proj.valid[:, None]
-          & (ty <= ty1[:, None]) & (tx <= tx1[:, None])
-          & (ty < th) & (tx < tw))
+    e = jnp.arange(max_tiles, dtype=jnp.int32)            # (E,)
+    ex = e[None, :] % bw[:, None]                         # (N, E)
+    ey = e[None, :] // bw[:, None]
+    ty = ty0[:, None] + ey
+    tx = tx0[:, None] + ex
+    ok = proj.valid[:, None] & (e[None, :] < area[:, None]) & (ty <= ty1[:, None])
     tile_id = jnp.where(ok, ty * tw + tx, t_total).astype(jnp.int32)
+    n_clipped = jnp.sum((proj.valid & (area > max_tiles)).astype(jnp.int32))
 
     flat_tile = tile_id.reshape(-1)
     flat_depth = jnp.broadcast_to(proj.depths[:, None],
@@ -171,7 +178,7 @@ def _bin_gaussians(proj: Projected, tw: int, th: int, tile: int,
         (flat_tile, flat_depth, flat_idx), num_keys=2)
     starts = jnp.searchsorted(sorted_tile,
                               jnp.arange(t_total + 1, dtype=jnp.int32))
-    return sorted_tile, sorted_idx, starts
+    return sorted_tile, sorted_idx, starts, n_clipped
 
 
 def _gather_entries(proj: Projected, sorted_idx, starts, max_per_tile: int):
@@ -188,9 +195,10 @@ def _gather_entries(proj: Projected, sorted_idx, starts, max_per_tile: int):
     g_conic = proj.conics[gidx]                           # (T, K, 3)
     g_color = proj.colors[gidx]                           # (T, K, 3)
     g_op = jnp.where(ent_valid, proj.opacities[gidx], 0.0)  # (T, K)
-    counts = jnp.minimum(starts[1:] - starts[:-1],
-                         max_per_tile).astype(jnp.int32)
-    return g_mean, g_conic, g_color, g_op, counts
+    raw_counts = (starts[1:] - starts[:-1]).astype(jnp.int32)
+    counts = jnp.minimum(raw_counts, max_per_tile)
+    overflow = jnp.sum(jnp.maximum(raw_counts - max_per_tile, 0))
+    return g_mean, g_conic, g_color, g_op, counts, overflow
 
 
 def _composite_tiles(g_mean, g_conic, g_color, g_op, h: int, w: int,
@@ -259,30 +267,205 @@ def _composite_tiles(g_mean, g_conic, g_color, g_op, h: int, w: int,
     return rgb, alpha
 
 
+def _tile_pix(tw: int, th: int, tile: int):
+    """Absolute pixel-center coordinates per tile: (T, P) each for x, y."""
+    ty = jnp.arange(th)
+    tx = jnp.arange(tw)
+    tile_y0 = jnp.repeat(ty, tw) * tile                   # (T,)
+    tile_x0 = jnp.tile(tx, th) * tile
+    py = jnp.repeat(jnp.arange(tile), tile)               # (P,)
+    px = jnp.tile(jnp.arange(tile), tile)
+    pix_x = tile_x0[:, None] + px[None, :] + 0.5          # (T, P)
+    pix_y = tile_y0[:, None] + py[None, :] + 0.5
+    return pix_x.astype(jnp.float32), pix_y.astype(jnp.float32)
+
+
+def _alpha_chunk(cm, cc, cop, pix_x, pix_y):
+    """Per-entry alpha over a chunk: cm (T,c,2), cc (T,c,3), cop (T,c),
+    pix (T,P). Returns (alpha, raw, expsig, ok, dx, dy) all (T,c,P)."""
+    dx = pix_x[:, None, :] - cm[:, :, 0:1]                # (T, c, P)
+    dy = pix_y[:, None, :] - cm[:, :, 1:2]
+    sigma = (0.5 * (cc[:, :, 0:1] * dx * dx + cc[:, :, 2:3] * dy * dy)
+             + cc[:, :, 1:2] * dx * dy)
+    # clip BEFORE exp: exp(-sigma) for large negative sigma overflows to inf
+    # in the untaken where-branch and its VJP yields 0 * inf = NaN
+    expsig = jnp.exp(-jnp.clip(sigma, 0.0, 50.0))
+    raw = cop[:, :, None] * expsig
+    ok = (sigma >= 0.0) & (raw > 1.0 / 255.0)
+    alpha = jnp.where(ok, jnp.minimum(raw, 0.999), 0.0)
+    return alpha, raw, expsig, ok, dx, dy
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _composite_xla(g_mean, g_conic, g_color, g_op, pix_x, pix_y, chunk: int):
+    """Front-to-back compositing with a hand-derived backward.
+
+    Forward is a chunked scan over depth-ordered entries (carry = RGB
+    accumulator + per-pixel transmittance). Backward is the gsplat-style
+    reverse sweep (reference call-site starster/gs.py:76-87: the CUDA
+    rasterize_to_pixels backward): walk chunks in REVERSE, reconstructing
+    each entry's incoming transmittance T_j = T_after / suffix_prod(1-a)
+    and the suffix color accumulator S_j, yielding exact per-entry
+    gradients — no rematerialized autodiff, cost ~1.5x forward.
+
+    g_mean (T,K,2), g_conic (T,K,3), g_color (T,K,3), g_op (T,K) zeroed
+    beyond each tile's count; pix_x/pix_y (T,P). Returns
+    (rgb (T,P,3), trans (T,P))."""
+    return _composite_xla_fwd_scan(g_mean, g_conic, g_color, g_op,
+                                   pix_x, pix_y, chunk)
+
+
+def _composite_xla_fwd_scan(g_mean, g_conic, g_color, g_op, pix_x, pix_y,
+                            chunk: int):
+    t_total, k = g_op.shape
+    p = pix_x.shape[1]
+    n_chunks = k // chunk
+
+    def body(carry, s):
+        acc_rgb, acc_t = carry                            # (T,P,3), (T,P)
+        sl = jax.lax.dynamic_slice_in_dim
+        cm = sl(g_mean, s * chunk, chunk, 1)
+        cc = sl(g_conic, s * chunk, chunk, 1)
+        ccol = sl(g_color, s * chunk, chunk, 1)
+        cop = sl(g_op, s * chunk, chunk, 1)
+        alpha, _, _, _, _, _ = _alpha_chunk(cm, cc, cop, pix_x, pix_y)
+        one_m = 1.0 - alpha                               # (T, c, P)
+        cum = jnp.cumprod(one_m, axis=1)
+        cum_excl = jnp.concatenate(
+            [jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=1)
+        wgt = alpha * cum_excl * acc_t[:, None, :]        # (T, c, P)
+        acc_rgb = acc_rgb + jnp.einsum("tcp,tcd->tpd", wgt, ccol)
+        acc_t = acc_t * cum[:, -1]
+        return (acc_rgb, acc_t), None
+
+    init = (jnp.zeros((t_total, p, 3), jnp.float32),
+            jnp.ones((t_total, p), jnp.float32))
+    (rgb, trans), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    return rgb, trans
+
+
+def _composite_xla_fwd(g_mean, g_conic, g_color, g_op, pix_x, pix_y,
+                       chunk: int):
+    rgb, trans = _composite_xla_fwd_scan(g_mean, g_conic, g_color, g_op,
+                                         pix_x, pix_y, chunk)
+    return (rgb, trans), (g_mean, g_conic, g_color, g_op, pix_x, pix_y,
+                          trans)
+
+
+def _composite_xla_bwd(chunk: int, res, cts):
+    g_mean, g_conic, g_color, g_op, pix_x, pix_y, t_fin = res
+    g_rgb, g_trans = cts                                  # (T,P,3), (T,P)
+    t_total, k = g_op.shape
+    n_chunks = k // chunk
+    gt_term = (g_trans * t_fin)[:, None, :]               # (T, 1, P)
+
+    def body(carry, s):
+        t_after, s_carry = carry                          # (T,P), (T,P)
+        sl = jax.lax.dynamic_slice_in_dim
+        cm = sl(g_mean, s * chunk, chunk, 1)
+        cc = sl(g_conic, s * chunk, chunk, 1)
+        ccol = sl(g_color, s * chunk, chunk, 1)
+        cop = sl(g_op, s * chunk, chunk, 1)
+        alpha, raw, expsig, ok, dx, dy = _alpha_chunk(cm, cc, cop,
+                                                      pix_x, pix_y)
+        one_m = 1.0 - alpha
+        # inclusive suffix product of (1 - alpha) within the chunk
+        rev_cum = jnp.cumprod(one_m[:, ::-1, :], axis=1)[:, ::-1, :]
+        t_j = t_after[:, None, :] / jnp.maximum(rev_cum, 1e-30)  # (T,c,P)
+        cdotg = jnp.einsum("tcd,tpd->tcp", ccol, g_rgb)
+        w_j = alpha * t_j
+        contrib = w_j * cdotg
+        suf_incl = jnp.cumsum(contrib[:, ::-1, :], axis=1)[:, ::-1, :]
+        s_j = (suf_incl - contrib) + s_carry[:, None, :]
+        inv_1m = 1.0 / jnp.maximum(one_m, 1e-3)
+        # d trans_fin / d alpha_j = -t_fin / (1 - alpha_j)
+        dalpha = t_j * cdotg - s_j * inv_1m - gt_term * inv_1m
+        # alpha clipped at 0.999 or culled: no grad through sigma/op there
+        interior = ok & (raw < 0.999)
+        draw = jnp.where(interior, dalpha, 0.0)
+        dsigma = -draw * raw                              # (T, c, P)
+        a = cc[:, :, 0:1]
+        b = cc[:, :, 1:2]
+        c_ = cc[:, :, 2:3]
+        d_mx = jnp.sum(dsigma * (-(a * dx + b * dy)), axis=2)   # (T, c)
+        d_my = jnp.sum(dsigma * (-(c_ * dy + b * dx)), axis=2)
+        d_ca = jnp.sum(dsigma * (0.5 * dx * dx), axis=2)
+        d_cb = jnp.sum(dsigma * (dx * dy), axis=2)
+        d_cc = jnp.sum(dsigma * (0.5 * dy * dy), axis=2)
+        d_op = jnp.sum(draw * expsig, axis=2)
+        d_col = jnp.einsum("tcp,tpd->tcd", w_j, g_rgb)    # (T, c, 3)
+        carry = (t_after / jnp.maximum(rev_cum[:, 0, :], 1e-30),
+                 s_carry + suf_incl[:, 0, :])
+        grads = (jnp.stack([d_mx, d_my], -1),
+                 jnp.stack([d_ca, d_cb, d_cc], -1),
+                 d_col, d_op)
+        return carry, grads
+
+    init = (t_fin, jnp.zeros_like(t_fin))
+    s_rev = jnp.arange(n_chunks - 1, -1, -1)
+    _, (dm, dc, dcol, dop) = jax.lax.scan(body, init, s_rev)
+    # scan stacked chunks in reverse order -> flip, then (s,T,c,..)->(T,K,..)
+    def unstack(x):
+        x = x[::-1]                                       # chunk order
+        x = jnp.moveaxis(x, 0, 1)                         # (T, s, c, ...)
+        return x.reshape((t_total, k) + x.shape[3:])
+
+    return (unstack(dm), unstack(dc), unstack(dcol), unstack(dop),
+            jnp.zeros_like(pix_x), jnp.zeros_like(pix_y))
+
+
+_composite_xla.defvjp(_composite_xla_fwd, _composite_xla_bwd)
+
+
+def _composite_tiles_xla(g_mean, g_conic, g_color, g_op, h: int, w: int,
+                         tile: int, tw: int, th: int, chunk: int):
+    """Analytic-VJP compositing -> (rgb (H,W,3), alpha (H,W))."""
+    pix_x, pix_y = _tile_pix(tw, th, tile)
+    rgb_t, trans_t = _composite_xla(g_mean, g_conic, g_color, g_op,
+                                    pix_x, pix_y, chunk)
+    rgb = rgb_t.reshape(th, tw, tile, tile, 3).transpose(0, 2, 1, 3, 4)
+    rgb = rgb.reshape(th * tile, tw * tile, 3)[:h, :w]
+    alpha = 1.0 - trans_t.reshape(th, tw, tile, tile).transpose(0, 2, 1, 3)
+    alpha = alpha.reshape(th * tile, tw * tile)[:h, :w]
+    return rgb, alpha
+
+
 def _default_impl() -> str:
+    """Pallas kernels are the default on TPU (proven vs the XLA path on
+    hardware); STARST3R_PALLAS=0 opts out, =1 forces them anywhere."""
     import os
 
     import jax as _jax
-    if os.environ.get("STARST3R_PALLAS", "0") == "1" \
-            and _jax.default_backend() == "tpu":
+    env = os.environ.get("STARST3R_PALLAS", "")
+    if env == "1":
         return "pallas"
-    return "ref"
+    if env == "0":
+        return "ref"
+    return "xla"
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "sh_degree", "tile_size",
-                     "tile_window", "max_per_tile", "chunk", "impl"))
+                     "max_tiles_per_gaussian", "max_per_tile", "chunk",
+                     "impl"))
 def rasterize(means, quats, scales, opacities, sh, viewmats, Ks,
               width: int, height: int, sh_degree: int = 1,
-              tile_size: int = 16, tile_window: int = 3,
+              tile_size: int = 16, max_tiles_per_gaussian: int = 16,
               max_per_tile: int = 1024, chunk: int = 128,
               impl: str = "auto"):
     """Render C cameras. means (N,3), quats (N,4) wxyz, scales (N,3) linear,
     opacities (N,) linear, sh (N,K,3), viewmats=w2c (C,4,4), Ks (C,3,3).
 
-    impl: 'pallas' (TPU kernels with early-exit + hand-written VJP),
-    'ref' (pure-XLA scan), or 'auto' (pallas on TPU else ref).
+    impl: 'xla' (XLA scan with hand-derived reverse-sweep VJP — the default),
+    'ref' (pure-XLA scan, autodiff backward, parity oracle),
+    'pallas' (experimental TPU kernels, opt-in via STARST3R_PALLAS=1),
+    or 'auto' (env override, else xla).
+
+    Coverage caps are counted, never silent: info["n_tiles_clipped"] is the
+    per-camera number of Gaussians whose tile bbox exceeded
+    ``max_tiles_per_gaussian``; info["tile_overflow"] the per-camera number
+    of entries dropped by ``max_per_tile``.
 
     Returns (rgb (C,H,W,3), alpha (C,H,W,1), info dict).
     """
@@ -294,13 +477,13 @@ def rasterize(means, quats, scales, opacities, sh, viewmats, Ks,
     def project_bin(w2c, K):
         proj = project_gaussians(means, quats, scales, opacities, sh, w2c, K,
                                  sh_degree)
-        _, sorted_idx, starts = _bin_gaussians(proj, tw, th, tile_size,
-                                               tile_window)
+        _, sorted_idx, starts, n_clip = _bin_gaussians(
+            proj, tw, th, tile_size, max_tiles_per_gaussian)
         ents = _gather_entries(proj, sorted_idx, starts, max_per_tile)
-        return ents + (proj.means2d, proj.radii, proj.depths)
+        return ents + (n_clip, proj.means2d, proj.radii, proj.depths)
 
-    (g_mean, g_conic, g_color, g_op, counts, means2d, radii,
-     depths) = jax.vmap(project_bin)(viewmats, Ks)       # (C, T, ...) each
+    (g_mean, g_conic, g_color, g_op, counts, overflow, n_clip, means2d,
+     radii, depths) = jax.vmap(project_bin)(viewmats, Ks)  # (C, T, ...) each
 
     if impl == "pallas":
         from .pallas_composite import _pack_attr, composite_entries
@@ -317,6 +500,11 @@ def rasterize(means, quats, scales, opacities, sh, viewmats, Ks,
         a_t = (1.0 - tfin_t).reshape(c, th, tw, tile_size, tile_size)
         alpha = a_t.transpose(0, 1, 3, 2, 4).reshape(
             c, th * tile_size, tw * tile_size)[:, :height, :width]
+    elif impl == "xla":
+        rgb, alpha = jax.vmap(
+            lambda gm, gc, gcl, go: _composite_tiles_xla(
+                gm, gc, gcl, go, height, width, tile_size, tw, th,
+                chunk))(g_mean, g_conic, g_color, g_op)
     else:
         rgb, alpha = jax.vmap(
             lambda gm, gc, gcl, go: _composite_tiles(
@@ -325,6 +513,7 @@ def rasterize(means, quats, scales, opacities, sh, viewmats, Ks,
 
     info: Dict[str, jnp.ndarray] = {
         "means2d": means2d, "radii": radii, "depths": depths,
+        "n_tiles_clipped": n_clip, "tile_overflow": overflow,
         "width": jnp.asarray(width), "height": jnp.asarray(height),
     }
     return rgb, alpha[..., None], info

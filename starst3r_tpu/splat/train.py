@@ -13,12 +13,14 @@ Behavioral spec (reference: starster/gs.py):
     0.8*L1 + 0.2*(1-SSIM) plus opacity/scale regularizers (note: the
     reference adds the regularizers inside the per-camera loop, so they are
     effectively multiplied by the camera count — reproduced); backward; Adam
-    step; MCMC relocation + noise when pruning is enabled.
+    step; MCMC relocation + growth + noise when pruning is enabled.
 
 TPU-first: the entire step (render all cameras + loss + grads + Adam update)
 is ONE jitted function; GT images are stacked on device once (the reference
 re-uploads each GT every step — gs.py:150-152 — we do not, SURVEY §7.5);
-optional camera minibatching behind `camera_batch` (0 = reference behavior).
+Gaussians live in a FIXED-CAPACITY pool with an alive count (static shapes;
+growth = activating slots, see mcmc.py); optional camera minibatching behind
+`SplatConfig.camera_batch` (0 = reference behavior: all cameras every step).
 """
 
 from __future__ import annotations
@@ -33,11 +35,11 @@ import optax
 
 from ..config import SplatConfig
 from ..ops.ssim import ssim as ssim_fn
-from .mcmc import MCMCConfig, add_position_noise, relocate_dead
+from .mcmc import MCMCConfig, add_position_noise, grow_target, relocate_dead
 from .rasterize import rasterize
 
 __all__ = ("GSState", "init_gaussians", "render", "train_step",
-           "run_optim")
+           "run_optim", "mcmc_config_from")
 
 
 class GSState(NamedTuple):
@@ -45,12 +47,32 @@ class GSState(NamedTuple):
     opt_state: Any
     step: jnp.ndarray
     key: jnp.ndarray
+    n_alive: jnp.ndarray      # () int32 — slots < n_alive are active
+
+
+def mcmc_config_from(cfg: SplatConfig) -> MCMCConfig:
+    """Build the MCMC schedule from the user-facing SplatConfig knobs."""
+    return MCMCConfig(
+        cap_max=cfg.cap_max,
+        min_opacity=cfg.mcmc_min_opacity,
+        noise_lr=cfg.mcmc_noise_lr,
+        refine_every=cfg.mcmc_refine_every,
+        refine_start=cfg.mcmc_refine_start,
+        refine_stop=cfg.mcmc_refine_stop,
+        grow_factor=cfg.mcmc_grow_factor,
+    )
 
 
 def init_gaussians(points: np.ndarray, colors: np.ndarray,
-                   cfg: SplatConfig, seed: int = 0) -> GSState:
-    """points (N, 3) float; colors (N, 3) float in [0, 1]."""
+                   cfg: SplatConfig, seed: int = 0,
+                   pool_size: int = 0) -> GSState:
+    """points (N, 3) float; colors (N, 3) float in [0, 1].
+
+    pool_size > N allocates extra (inactive) capacity so MCMC growth toward
+    `cfg.cap_max` can activate slots without reallocating (static shapes).
+    """
     n = points.shape[0]
+    cap = max(n, pool_size)
     pts = jnp.asarray(points, jnp.float32)
     cols = jnp.asarray(colors, jnp.float32)
     if cfg.compat_inverted_sh:
@@ -68,36 +90,54 @@ def init_gaussians(points: np.ndarray, colors: np.ndarray,
     }
     if not cfg.compat_inverted_sh:
         params["shN"] = jnp.zeros((n, cfg.sh_bands, 3), jnp.float32)
+    if cap > n:
+        pad = cap - n
+
+        def pad0(x):
+            return jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+
+        params = {k: pad0(v) for k, v in params.items()}
+        # inactive slots: identity quats, init scale (relocation overwrites)
+        params["quats"] = params["quats"].at[n:, 0].set(1.0)
+        params["scales"] = params["scales"].at[n:].set(cfg.init_scale)
     opt = optax.adam(cfg.lr)
     return GSState(params=params, opt_state=opt.init(params),
-                   step=jnp.asarray(0), key=jax.random.PRNGKey(seed))
+                   step=jnp.asarray(0), key=jax.random.PRNGKey(seed),
+                   n_alive=jnp.asarray(n, jnp.int32))
 
 
-def _opacity_fn(cfg: SplatConfig):
+def _opacity_act(cfg: SplatConfig):
+    """(activation, inverse) pair raw -> linear opacity."""
     if cfg.compat_raw_activations:
-        return lambda x: x
-    return jax.nn.sigmoid
+        return (lambda x: x, lambda x: x)
+    return (jax.nn.sigmoid, lambda x: jnp.log(x) - jnp.log1p(-x))
 
 
-def _scale_fn(cfg: SplatConfig):
+def _scale_act(cfg: SplatConfig):
     if cfg.compat_raw_activations:
-        return lambda x: x
-    return jnp.exp
+        return (lambda x: x, lambda x: x)
+    return (jnp.exp, jnp.log)
 
 
 def render(params: Dict[str, jnp.ndarray], w2c, Ks, width: int, height: int,
-           cfg: SplatConfig):
+           cfg: SplatConfig, n_alive: Optional[jnp.ndarray] = None):
     """Reference-equivalent render: colors=shN, sh_degree=1 (gs.py:76-87).
 
+    n_alive (optional traced int): inactive pool slots render with opacity 0.
     Returns (rgb (C,H,W,3), alpha (C,H,W,1), info).
     """
-    op = _opacity_fn(cfg)(params["opacities"])
-    sc = _scale_fn(cfg)(params["scales"])
+    op = _opacity_act(cfg)[0](params["opacities"])
+    sc = _scale_act(cfg)[0](params["scales"])
+    if n_alive is not None:
+        alive = jnp.arange(op.shape[0], dtype=jnp.int32) < n_alive
+        op = jnp.where(alive, op, 0.0)
     return rasterize(
         params["means"], params["quats"], sc, op, params["shN"],
         jnp.asarray(w2c), jnp.asarray(Ks), width, height,
         sh_degree=cfg.sh_degree, tile_size=cfg.tile_size,
-        tile_window=3, max_per_tile=1024, chunk=128)
+        max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+        max_per_tile=cfg.max_per_tile, chunk=cfg.chunk)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "cfg",
@@ -107,18 +147,24 @@ def train_step(state: GSState, gt: jnp.ndarray, w2c: jnp.ndarray,
                n_cams: int):
     """One optimization step over all cameras. gt: (C, H, W, 3) in [0,1]."""
     opt = optax.adam(cfg.lr)
+    cap = state.params["means"].shape[0]
+    alive = (jnp.arange(cap, dtype=jnp.int32) < state.n_alive)
+    denom = jnp.maximum(state.n_alive.astype(jnp.float32), 1.0)
 
     def loss_fn(params):
-        rgb, alpha, _ = render(params, w2c, Ks, width, height, cfg)
+        rgb, alpha, _ = render(params, w2c, Ks, width, height, cfg,
+                               n_alive=state.n_alive)
         l1 = jnp.mean(jnp.abs(gt - rgb), axis=(1, 2, 3))          # (C,)
         ssim_val = jax.vmap(lambda a, b: ssim_fn(a, b))(gt, rgb)  # (C,)
         per_cam = (l1 * (1 - cfg.loss_ssim_fac)
                    + (1.0 - ssim_val) * cfg.loss_ssim_fac)
         loss = jnp.sum(per_cam)
         # reference adds the regs once per camera (gs.py:126-136 called in
-        # the per-camera loop) -> multiply by C
-        reg_o = jnp.mean(jnp.abs(jax.nn.sigmoid(params["opacities"])))
-        reg_s = jnp.mean(jnp.abs(jnp.exp(params["scales"])))
+        # the per-camera loop) -> multiply by C; means over ALIVE slots only
+        reg_o = jnp.sum(jnp.abs(jax.nn.sigmoid(params["opacities"]))
+                        * alive) / denom
+        reg_s = jnp.sum(jnp.abs(jnp.exp(params["scales"]))
+                        * alive[:, None]) / (3.0 * denom)
         loss = loss + n_cams * (cfg.loss_opacity_fac * reg_o
                                 + cfg.loss_scale_fac * reg_s)
         return loss
@@ -127,7 +173,8 @@ def train_step(state: GSState, gt: jnp.ndarray, w2c: jnp.ndarray,
     updates, opt_state = opt.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     return GSState(params=params, opt_state=opt_state,
-                   step=state.step + 1, key=state.key), loss
+                   step=state.step + 1, key=state.key,
+                   n_alive=state.n_alive), loss
 
 
 @functools.partial(jax.jit, static_argnames=("lr", "cfg", "mcfg",
@@ -137,14 +184,18 @@ def _mcmc_post_step(state: GSState, lr: float, cfg: SplatConfig,
     key, k1, k2 = jax.random.split(state.key, 3)
     params = state.params
     opt_state = state.opt_state
+    n_alive = state.n_alive
+    cap = params["means"].shape[0]
 
     if do_refine:
-        params, relocated = relocate_dead(k1, params, _opacity_fn(cfg),
-                                          _scale_fn(cfg))
-        # reset Adam moments of relocated slots
-        def reset(leaf_state, param_name_mask):
-            return leaf_state
+        n_target = grow_target(n_alive, cap, mcfg)
+        params, relocated = relocate_dead(
+            k1, params, _opacity_act(cfg), _scale_act(cfg),
+            min_opacity=mcfg.min_opacity, n_alive=n_alive,
+            n_target=n_target)
+        n_alive = n_target
 
+        # reset Adam moments of relocated slots
         def mask_like(x):
             m = relocated
             while m.ndim < x.ndim:
@@ -159,21 +210,26 @@ def _mcmc_post_step(state: GSState, lr: float, cfg: SplatConfig,
         opt_state = (inner, rest)
 
     params = add_position_noise(k2, params, lr, mcfg.noise_lr,
-                                _opacity_fn(cfg), _scale_fn(cfg))
+                                _opacity_act(cfg), _scale_act(cfg),
+                                n_alive=n_alive)
     return GSState(params=params, opt_state=opt_state, step=state.step,
-                   key=key)
+                   key=key, n_alive=n_alive)
 
 
 def run_optim(state: GSState, gt_images: np.ndarray, w2c: np.ndarray,
               Ks: np.ndarray, iters: int, cfg: SplatConfig,
               enable_pruning: bool = False,
-              mcfg: MCMCConfig = MCMCConfig(),
+              mcfg: Optional[MCMCConfig] = None,
               verbose: bool = False,
               mesh=None) -> Tuple[GSState, List[float]]:
     """The reference's run_3dgs_optim loop (gs.py:97-166).
 
+    mcfg defaults to the schedule in ``cfg`` (mcmc_* / cap_max knobs).
     mesh: optional jax Mesh — Gaussians (and Adam moments) are sharded over
     its first axis; cameras/GT replicate (SURVEY §2c splat row)."""
+    from ..utils.profiling import trace_if
+    if mcfg is None:
+        mcfg = mcmc_config_from(cfg)
     if mesh is not None:
         from ..parallel import replicate, shard_gs_state
         state = shard_gs_state(state, mesh)
@@ -183,9 +239,24 @@ def run_optim(state: GSState, gt_images: np.ndarray, w2c: np.ndarray,
     c, h, w = gt.shape[0], gt.shape[1], gt.shape[2]
     w2c_j = jnp.asarray(w2c, jnp.float32)
     ks_j = jnp.asarray(Ks, jnp.float32)
+    cb = cfg.camera_batch if 0 < cfg.camera_batch < c else 0
+    cam_rng = np.random.default_rng(int(jax.device_get(state.step)) + 1)
     losses: List[float] = []
+    trace_ctx = trace_if("splat_optim")
+    trace_ctx.__enter__()
+    trace_open = True
     for it in range(iters):
-        state, loss = train_step(state, gt, w2c_j, ks_j, w, h, cfg, c)
+        if trace_open and it == 3:
+            # trace only the first steps (compile + a few steady steps):
+            # full-run traces are gigabytes and add per-step overhead
+            trace_ctx.__exit__(None, None, None)
+            trace_open = False
+        if cb:
+            sel = jnp.asarray(cam_rng.choice(c, size=cb, replace=False))
+            state, loss = train_step(state, gt[sel], w2c_j[sel], ks_j[sel],
+                                     w, h, cfg, cb)
+        else:
+            state, loss = train_step(state, gt, w2c_j, ks_j, w, h, cfg, c)
         if enable_pruning:
             step = int(state.step)
             do_refine = (step >= mcfg.refine_start
@@ -194,5 +265,8 @@ def run_optim(state: GSState, gt_images: np.ndarray, w2c: np.ndarray,
             state = _mcmc_post_step(state, cfg.lr, cfg, mcfg, do_refine)
         losses.append(float(loss))
         if verbose and (it % 50 == 0 or it == iters - 1):
-            print(f"[3dgs] step {int(state.step)} loss={losses[-1]:.4f}")
+            print(f"[3dgs] step {int(state.step)} loss={losses[-1]:.4f} "
+                  f"alive={int(state.n_alive)}")
+    if trace_open:
+        trace_ctx.__exit__(None, None, None)
     return state, losses

@@ -30,6 +30,26 @@ def _images(n, rng, hw=(64, 64)):
             for _ in range(n)]
 
 
+def test_reconstruct_with_lm_refine(tiny_model, fast_cfg, rng):
+    """--refine-lm wiring: post-GA LM polish runs in the pipeline, returns
+    valid SE(3) poses, and reports decreasing cost to the logger."""
+    from starst3r_tpu.utils.metrics import MetricsLogger
+    cfg = dataclasses.replace(
+        fast_cfg, ga=dataclasses.replace(fast_cfg.ga, refine_lm=True,
+                                         lm_iters=4))
+    imgs = _images(3, rng)
+    logger = MetricsLogger()
+    rec, _ = st.reconstruct_scene(tiny_model, imgs, config=cfg,
+                                  logger=logger)
+    assert np.all(np.isfinite(rec.cam2w))
+    R = rec.cam2w[:, :3, :3]
+    eye = np.einsum("nij,nkj->nik", R, R)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (3, 1, 1)), atol=1e-3)
+    lm_recs = [r for r in logger.records if r["event"] == "lm_refine"]
+    assert len(lm_recs) == 1
+    assert lm_recs[0]["cost_last"] <= lm_recs[0]["cost_first"] + 1e-6
+
+
 def test_two_image_pair_reconstruction(tiny_model, fast_cfg, rng):
     """BASELINE config 1: 2 images, tiny ViT, pairwise alignment, CPU."""
     imgs = _images(2, rng)

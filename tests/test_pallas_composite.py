@@ -27,8 +27,8 @@ def _scene(rng, n=96):
                                           w2c, K))
 
 
-KW = dict(width=32, height=32, sh_degree=1, tile_size=16, tile_window=3,
-          max_per_tile=128, chunk=32)
+KW = dict(width=32, height=32, sh_degree=1, tile_size=16,
+          max_tiles_per_gaussian=9, max_per_tile=128, chunk=32)
 
 
 def test_pallas_forward_matches_reference(rng):
@@ -88,3 +88,35 @@ def test_pallas_early_exit_opaque_wall(rng):
     # nearest gaussian is red and opaque -> center pixel is red
     assert float(rgb_p[0, 16, 16, 0]) > 0.8
     assert float(a_p[0, 16, 16, 0]) > 0.99
+
+
+def test_xla_custom_vjp_matches_reference(rng):
+    """The analytic reverse-sweep VJP (impl='xla', the default) must match
+    the autodiff oracle (impl='ref') in both forward and gradients."""
+    args = _scene(rng)
+    rgb_r, a_r, _ = rasterize(*args, impl="ref", **KW)
+    rgb_x, a_x, _ = rasterize(*args, impl="xla", **KW)
+    np.testing.assert_allclose(np.asarray(rgb_x), np.asarray(rgb_r),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(a_x), np.asarray(a_r),
+                               atol=1e-5, rtol=1e-5)
+
+    tgt = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)).astype(np.float32))
+
+    def loss(impl, means, quats, scales, opac, sh):
+        rgb, alpha, _ = rasterize(means, quats, scales, opac, sh,
+                                  args[5], args[6], impl=impl, **KW)
+        return jnp.mean((rgb - tgt) ** 2) + 0.1 * jnp.mean(alpha)
+
+    g_ref = jax.grad(lambda *a: loss("ref", *a), argnums=(0, 1, 2, 3, 4))(
+        *args[:5])
+    g_xla = jax.grad(lambda *a: loss("xla", *a), argnums=(0, 1, 2, 3, 4))(
+        *args[:5])
+    for name, gr, gx in zip(("means", "quats", "scales", "opac", "sh"),
+                            g_ref, g_xla):
+        gr = np.asarray(gr)
+        gx = np.asarray(gx)
+        assert np.all(np.isfinite(gx)), name
+        scale = np.maximum(np.abs(gr).max(), 1e-6)
+        np.testing.assert_allclose(gx / scale, gr / scale, atol=1e-3,
+                                   err_msg=name)

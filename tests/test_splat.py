@@ -91,7 +91,7 @@ def test_rasterize_matches_numpy_reference(small_scene):
         jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
         jnp.asarray(opac), jnp.asarray(sh), jnp.asarray(w2c)[None],
         jnp.asarray(K)[None], w, h, sh_degree=0, tile_size=16,
-        tile_window=3, max_per_tile=128, chunk=32)
+        max_tiles_per_gaussian=9, max_per_tile=128, chunk=32)
     np.testing.assert_allclose(np.asarray(rgb[0]), ref_rgb, atol=2e-3)
     np.testing.assert_allclose(np.asarray(alpha[0, ..., 0]), ref_alpha,
                                atol=2e-3)
@@ -120,7 +120,8 @@ def test_rasterize_gradients_finite_under_stress(rng):
 
     def loss(m, q, s, o, c):
         rgb, alpha, _ = rasterize(m, q, s, o, c, w2c, K, 32, 32,
-                                  sh_degree=1, tile_size=16, tile_window=3,
+                                  sh_degree=1, tile_size=16,
+                                  max_tiles_per_gaussian=9,
                                   max_per_tile=64, chunk=32)
         return jnp.sum(rgb) + jnp.sum(alpha)
 
@@ -206,3 +207,99 @@ def test_render_shapes_and_info(rng):
     assert rgb.shape == (3, 32, 32, 3)
     assert alpha.shape == (3, 32, 32, 1)
     assert info["means2d"].shape == (3, n, 2)
+
+
+def test_rasterize_large_radius_gaussian_exact(rng):
+    """A Gaussian with ~100px projected radius must render identically to
+    the brute-force numpy reference when the tile budget covers its bbox
+    (VERDICT r1 #4: no silent caps — exact bbox enumeration)."""
+    means = np.array([[0.0, 0.0, 2.0]], np.float32)
+    quats = np.array([[1.0, 0, 0, 0]], np.float32)
+    scales = np.array([[1.2, 1.2, 1.2]], np.float32)   # radius >> 24px
+    opac = np.array([0.8], np.float32)
+    cols = np.array([[0.2, 0.7, 0.4]], np.float32)
+    w2c = np.eye(4, dtype=np.float32)
+    h = w = 128
+    K = np.array([[60.0, 0, 64], [0, 60.0, 64], [0, 0, 1]], np.float32)
+    ref_rgb, ref_alpha = _numpy_rasterize(means, quats, scales, opac, cols,
+                                          w2c, K, w, h)
+    sh = np.zeros((1, 4, 3), np.float32)
+    sh[:, 0] = _sh_dc_color(cols)
+    rgb, alpha, info = rasterize(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(sh), jnp.asarray(w2c)[None],
+        jnp.asarray(K)[None], w, h, sh_degree=0, tile_size=16,
+        max_tiles_per_gaussian=64, max_per_tile=64, chunk=32)
+    assert int(info["n_tiles_clipped"][0]) == 0
+    np.testing.assert_allclose(np.asarray(rgb[0]), ref_rgb, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(alpha[0, ..., 0]), ref_alpha,
+                               atol=2e-3)
+
+
+def test_rasterize_overflow_is_counted(rng):
+    """Caps must be counted, not silent: a too-small tile budget reports
+    n_tiles_clipped > 0."""
+    means = np.array([[0.0, 0.0, 2.0]], np.float32)
+    quats = np.array([[1.0, 0, 0, 0]], np.float32)
+    scales = np.array([[1.2, 1.2, 1.2]], np.float32)
+    opac = np.array([0.8], np.float32)
+    sh = np.zeros((1, 4, 3), np.float32)
+    rgb, alpha, info = rasterize(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(sh), jnp.eye(4)[None],
+        jnp.asarray(np.array([[60.0, 0, 64], [0, 60.0, 64], [0, 0, 1]],
+                             np.float32))[None], 128, 128, sh_degree=0,
+        tile_size=16, max_tiles_per_gaussian=4, max_per_tile=64, chunk=32)
+    assert int(info["n_tiles_clipped"][0]) == 1
+
+
+def test_mcmc_growth_reaches_cap(rng):
+    """The alive pool must grow toward cap_max at refine steps (gsplat
+    add_new_gs semantics; VERDICT r1 #3)."""
+    import dataclasses
+    from starst3r_tpu.splat.train import run_optim
+
+    n = 128
+    pool = 256
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    pts[:, 2] += 3.0
+    cols = rng.uniform(size=(n, 3)).astype(np.float32)
+    cfg = dataclasses.replace(
+        SplatConfig(), cap_max=pool, mcmc_refine_start=1,
+        mcmc_refine_every=2, mcmc_grow_factor=1.5)
+    state = init_gaussians(pts, cols, cfg, pool_size=pool)
+    assert int(state.n_alive) == n
+    c, h, w = 2, 32, 32
+    gt = rng.uniform(size=(c, h, w, 3)).astype(np.float32)
+    w2c = np.tile(np.eye(4, dtype=np.float32)[None], (c, 1, 1))
+    K = np.tile(np.array([[30.0, 0, 16], [0, 30.0, 16], [0, 0, 1]],
+                         np.float32)[None], (c, 1, 1))
+    state, losses = run_optim(state, gt, w2c, K, 8, cfg,
+                              enable_pruning=True)
+    assert int(state.n_alive) == pool        # grew to cap
+    assert state.params["means"].shape == (pool, 3)  # capacity static
+    assert all(np.isfinite(losses))
+    # activated slots must sit on live Gaussians (relocated), not at origin
+    moved = np.asarray(state.params["means"][n:])
+    assert np.all(np.isfinite(moved))
+    assert float(np.abs(moved).sum()) > 0.0
+
+
+def test_camera_batch_plumbed(rng):
+    """camera_batch > 0 trains on camera subsets (flag consumed)."""
+    import dataclasses
+    from starst3r_tpu.splat.train import run_optim
+
+    n = 128
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    pts[:, 2] += 3.0
+    cols = rng.uniform(size=(n, 3)).astype(np.float32)
+    cfg = dataclasses.replace(SplatConfig(), camera_batch=2)
+    state = init_gaussians(pts, cols, cfg)
+    c, h, w = 4, 32, 32
+    gt = rng.uniform(size=(c, h, w, 3)).astype(np.float32)
+    w2c = np.tile(np.eye(4, dtype=np.float32)[None], (c, 1, 1))
+    K = np.tile(np.array([[30.0, 0, 16], [0, 30.0, 16], [0, 0, 1]],
+                         np.float32)[None], (c, 1, 1))
+    state, losses = run_optim(state, gt, w2c, K, 6, cfg)
+    assert len(losses) == 6 and all(np.isfinite(losses))

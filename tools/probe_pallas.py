@@ -14,7 +14,8 @@ enable_compilation_cache()
 log(f"jax up, devices={jax.devices()}")
 from starst3r_tpu.config import SplatConfig
 from starst3r_tpu.splat.train import init_gaussians, train_step, render
-import starst3r_tpu.splat.rasterize as rz
+import importlib
+rz = importlib.import_module("starst3r_tpu.splat.rasterize")
 
 rng = np.random.default_rng(0)
 n_g = 50_000

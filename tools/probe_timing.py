@@ -3,6 +3,7 @@
 Run on the real TPU:  python tools/probe_timing.py [render|train|pallas|parts]
 """
 
+import os
 import sys
 import time
 
@@ -18,7 +19,7 @@ def log(m):
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from starst3r_tpu.utils import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
