@@ -107,6 +107,51 @@ def main():
     dt_render = _timeit(render_once, warmup=2, iters=10)
     fps = n_cams / dt_render
 
+    # ---------------- quality: GA ATE/RPE on a planted scene --------------
+    # (BASELINE.md operational metrics; utils/synthetic.py scene is exact up
+    # to ~1px core-grid snapping)
+    from starst3r_tpu.alignment.ga import run_global_alignment
+    from starst3r_tpu.config import GAConfig
+    from starst3r_tpu.utils.eval import ate_rmse, rpe_rotation_deg
+    from starst3r_tpu.utils.synthetic import synthetic_ga_scene
+
+    data, mst, gt_poses, _ = synthetic_ga_scene(n_cams=4, hw=128,
+                                                subsample=4)
+    result, _ = run_global_alignment(data, mst,
+                                     GAConfig(niter1=300, niter2=120))
+    pred = np.asarray(result.cam2w)
+    traj_scale = float(np.linalg.norm(
+        gt_poses[:, :3, 3] - gt_poses[:, :3, 3].mean(0), axis=1).max())
+    ga_ate = float(ate_rmse(pred, gt_poses))
+    ga_rpe = float(rpe_rotation_deg(pred, gt_poses))
+
+    # ---------------- quality: splat optimization PSNR --------------------
+    # optimize a fresh init toward renders of a DIFFERENT gaussian scene
+    from starst3r_tpu.ops.ssim import psnr as psnr_fn
+
+    import dataclasses
+
+    qcfg = dataclasses.replace(cfg, init_scale=2e-2)
+    tgt_pts = rng.normal(size=(4000, 3)).astype(np.float32) * 0.4
+    tgt_pts[:, 2] += 3.0
+    tgt_cols = rng.uniform(size=(4000, 3)).astype(np.float32)
+    tgt_state = init_gaussians(tgt_pts, tgt_cols, qcfg, seed=1)
+    tgt_gt = jnp.clip(render(tgt_state.params, w2c, K, w, h, qcfg)[0],
+                      0.0, 1.0)
+    opt_state = init_gaussians(
+        tgt_pts + rng.normal(size=tgt_pts.shape).astype(np.float32) * 0.05,
+        rng.uniform(size=(4000, 3)).astype(np.float32), qcfg, seed=2)
+    rgb0 = jnp.clip(render(opt_state.params, w2c, K, w, h, qcfg)[0], 0, 1)
+    psnr0 = float(np.mean([psnr_fn(tgt_gt[i], rgb0[i])
+                           for i in range(n_cams)]))
+    from starst3r_tpu.splat.train import run_optim
+    opt_state, _ = run_optim(opt_state, np.asarray(tgt_gt), np.asarray(w2c),
+                             np.asarray(K), 150, qcfg)
+    rgb_opt = jnp.clip(render(opt_state.params, w2c, K, w, h, qcfg)[0],
+                       0, 1)
+    splat_psnr = float(np.mean([psnr_fn(tgt_gt[i], rgb_opt[i])
+                                for i in range(n_cams)]))
+
     prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_LOCAL.json")
     vs_baseline = 1.0
@@ -131,6 +176,12 @@ def main():
             "n_gaussians": n_g,
             "n_cameras": n_cams,
             "device": str(jax.devices()[0]),
+            # quality (BASELINE.md operational metrics)
+            "ga_ate": round(ga_ate, 5),
+            "ga_ate_frac_of_traj": round(ga_ate / traj_scale, 4),
+            "ga_rpe_rot_deg": round(ga_rpe, 3),
+            "splat_psnr_150_iters": round(splat_psnr, 2),
+            "splat_psnr_init": round(psnr0, 2),
         },
     }
     try:

@@ -65,6 +65,10 @@ def _build_parser() -> argparse.ArgumentParser:
                      help="polish the GA poses with Levenberg-Marquardt "
                      "over absolute poses (+focal)")
     rec.add_argument("--lm-iters", type=int, default=12)
+    rec.add_argument("--refine-mode", default="lm", choices=["lm", "schur"],
+                     help="lm = dense two-view normal equations; schur = "
+                     "latent-track Schur-complement reduction (keyframe "
+                     "scale path)")
     rec.add_argument("--shared-intrinsics", action="store_true",
                      help="optimize one focal + principal point shared by "
                      "all cameras (reference reconstruct.py:67)")
@@ -143,6 +147,7 @@ def _cmd_reconstruct(args) -> int:
         else cfg.ga.niter2,
         refine_lm=bool(args.refine_lm),
         lm_iters=args.lm_iters,
+        lm_mode=args.refine_mode,
         shared_intrinsics=bool(args.shared_intrinsics))
     cfg = dataclasses.replace(cfg, ga=ga)
 

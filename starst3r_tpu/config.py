@@ -58,6 +58,13 @@ class ModelConfig:
     dtype: str = "bfloat16"         # activation dtype on TPU
     # pointmap output parameterization: exp depth along ray, metric scale
     pointmap_mode: str = "exp"
+    # DPT head geometry — defaults are the public MASt3R catmlpdpt layout
+    # (feature_dim=256, layer_dims 96/192/384/768, last_dim=128), so the
+    # converted checkpoint maps 1:1 (io/torch_convert.py)
+    dpt_feature_dim: int = 256
+    dpt_layer_dims: Tuple[int, int, int, int] = (96, 192, 384, 768)
+    dpt_last_dim: int = 128
+    desc_hidden_factor: float = 4.0  # reference hidden_dim_factor
 
     @staticmethod
     def tiny() -> "ModelConfig":
@@ -66,6 +73,8 @@ class ModelConfig:
             name="tiny", enc_depth=2, enc_dim=64, enc_heads=2,
             dec_depth=2, dec_dim=48, dec_heads=2, desc_dim=8,
             dtype="float32",
+            dpt_feature_dim=32, dpt_layer_dims=(8, 12, 16, 24),
+            dpt_last_dim=16,
         )
 
     @staticmethod
@@ -73,6 +82,8 @@ class ModelConfig:
         return ModelConfig(
             name="small", enc_depth=6, enc_dim=384, enc_heads=6,
             dec_depth=4, dec_dim=256, dec_heads=4, desc_dim=16,
+            dpt_feature_dim=64, dpt_layer_dims=(16, 32, 48, 64),
+            dpt_last_dim=32,
         )
 
     @staticmethod
@@ -140,6 +151,11 @@ class GAConfig:
     refine_lm: bool = False
     lm_iters: int = 12
     lm_damping: float = 1e-3
+    # 'lm' = dense two-view normal equations (alignment/lm.py);
+    # 'schur' = latent-track Schur-complement reduction (alignment/schur.py
+    # — the keyframe-scale path, BASELINE configs 4-5)
+    lm_mode: str = "lm"
+    lm_max_obs: int = 8             # schur: observations per sub-track
     # focal clamping (reconstruct.py:204-206)
     min_focal_factor: float = 0.25
     max_focal_factor: float = 10.0

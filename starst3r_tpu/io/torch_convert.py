@@ -1,17 +1,38 @@
-"""Best-effort converter: public MASt3R ``.pth`` checkpoints -> our params.
+"""Converter: public MASt3R ``.pth`` checkpoints -> our params.
 
 The reference loads `MASt3R_ViTLarge_BaseDecoder_512_catmlpdpt_metric.pth`
 via `AsymmetricMASt3R.from_pretrained` (reference main.py:46,
 docs/install.rst:24-31). This module maps that state_dict naming
 (CroCo/DUSt3R/MASt3R lineage: patch_embed / enc_blocks / enc_norm /
-decoder_embed / dec_blocks / dec_blocks2 / dec_norm / downstream heads)
-onto our flax parameter tree (models/vit.py, models/mast3r.py).
+decoder_embed / dec_blocks / dec_blocks2 / dec_norm / downstream_head
+catmlpdpt heads) onto our flax parameter tree (models/vit.py,
+models/mast3r.py, models/heads.py — which is structured to be
+weight-isomorphic with that layout, see heads.py docstring).
+
+Head layout mapped (mast3r catmlp_dpt_head.py + croco dpt_block.py):
+  downstream_head{v}.dpt.act_postprocess.{i}.0   1x1 proj  -> act{i}_proj
+  downstream_head{v}.dpt.act_postprocess.0.1     ConvT k4s4 -> act0_up
+  downstream_head{v}.dpt.act_postprocess.1.1     ConvT k2s2 -> act1_up
+  downstream_head{v}.dpt.act_postprocess.3.1     Conv3x3 s2 -> act3_down
+  downstream_head{v}.dpt.scratch.layer{j}_rn     -> layer{j}_rn
+  downstream_head{v}.dpt.scratch.refinenet{j}.*  -> refinenet{j}.{res1,res2,
+                                                    out_conv}
+  downstream_head{v}.dpt.head.{0,2,4}            -> head{0,2,4}
+  downstream_head{v}.head_local_features.fc{1,2} -> desc_head{v}.fc{1,2}
+    (fc2 columns permuted from torch pixel_shuffle's (c,i,j) channel order
+     to our (i,j,c) shuffle)
+
+Non-overlapping transposed convs (kernel==stride) are re-laid-out into the
+Dense+pixel-shuffle form our head uses: kernel (in,out,r,r) ->
+(in, r*r*out) with (dy,dx,o) column order, bias tiled per sub-pixel.
+
+Acknowledged-and-dropped keys (present in the torch checkpoint but dead at
+inference): `mask_token` (croco masked-pretraining token) and
+`refinenet4.resConfUnit1.*` (refinenet4 receives no skip input, torch
+allocates the unit anyway).
 
 Torch (CPU build) is used only here, only at conversion time — the runtime
-never imports it. Conversion is necessarily best-effort for the DPT heads
-(the vendored head code is not in the reference snapshot — SURVEY header
-note on the missing submodule); unmapped keys are reported so a user with
-the real checkpoint can extend `EXTRA_RULES`.
+never imports it.
 
 Usage:
     python -m starst3r_tpu.io.torch_convert in.pth out.npz --preset large
@@ -25,6 +46,25 @@ from typing import Any, Dict, List, Tuple
 import numpy as np
 
 __all__ = ("convert_state_dict", "convert_file")
+
+
+class _Rec:
+    """state_dict wrapper that records which keys the mapping consumed."""
+
+    def __init__(self, sd: Dict[str, Any]):
+        self.sd = sd
+        self.used = set()
+
+    def __getitem__(self, key):
+        self.used.add(key)
+        return self.sd[key]
+
+    def __contains__(self, key):
+        return key in self.sd
+
+    def mark(self, key):
+        if key in self.sd:
+            self.used.add(key)
 
 
 def _t(x) -> np.ndarray:
@@ -43,10 +83,37 @@ def _ln(sd, key):
     return {"scale": _t(sd[f"{key}.weight"]), "bias": _t(sd[f"{key}.bias"])}
 
 
-def _conv_patch(sd, key):
+def _conv(sd, key, bias=True):
     """torch Conv2d (out,in,kh,kw) -> flax Conv {kernel (kh,kw,in,out)}."""
     w = _t(sd[f"{key}.weight"])
-    return {"kernel": w.transpose(2, 3, 1, 0), "bias": _t(sd[f"{key}.bias"])}
+    out = {"kernel": w.transpose(2, 3, 1, 0)}
+    if bias:
+        out["bias"] = _t(sd[f"{key}.bias"])
+    return out
+
+
+def _conv1x1_as_dense(sd, key):
+    w = _t(sd[f"{key}.weight"])          # (out, in, 1, 1)
+    return {"kernel": w[:, :, 0, 0].T, "bias": _t(sd[f"{key}.bias"])}
+
+
+def _convT_as_dense_up(sd, key, r):
+    """Non-overlapping ConvTranspose (in,out,r,r) -> Dense+pixel-shuffle:
+    kernel (in, r*r*out) with (dy, dx, o) column order, bias tiled."""
+    w = _t(sd[f"{key}.weight"])          # (in, out, r, r)
+    k = w.transpose(0, 2, 3, 1).reshape(w.shape[0], -1)
+    b = np.tile(_t(sd[f"{key}.bias"]), r * r)
+    return {"dense": {"kernel": k, "bias": b}}
+
+
+def _fc_pixelshuffle(sd, key, p, out_ch):
+    """torch Mlp.fc2 whose output feeds F.pixel_shuffle (channel order
+    c*p*p + i*p + j) -> our (i*p + j)*C + c shuffle order."""
+    w = _t(sd[f"{key}.weight"])          # (C*p*p, in)
+    b = _t(sd[f"{key}.bias"])
+    perm = (np.arange(out_ch * p * p).reshape(out_ch, p, p)
+            .transpose(1, 2, 0).reshape(-1))
+    return {"kernel": w.T[:, perm], "bias": b[perm]}
 
 
 def _enc_block(sd, i):
@@ -82,52 +149,84 @@ def _dec_block(sd, prefix, i):
     return blk
 
 
-def convert_state_dict(sd: Dict[str, Any], enc_depth: int,
-                       dec_depth: int) -> Tuple[Dict[str, Any], List[str]]:
-    """Returns (partial flax params {'params': ...}, unmapped torch keys).
+def _dpt_head(sd, pfx):
+    d: Dict[str, Any] = {}
+    for i in range(4):
+        d[f"act{i}_proj"] = _conv1x1_as_dense(
+            sd, f"{pfx}.act_postprocess.{i}.0")
+    d["act0_up"] = _convT_as_dense_up(sd, f"{pfx}.act_postprocess.0.1", 4)
+    d["act1_up"] = _convT_as_dense_up(sd, f"{pfx}.act_postprocess.1.1", 2)
+    d["act3_down"] = _conv(sd, f"{pfx}.act_postprocess.3.1")
+    for j in range(1, 5):
+        d[f"layer{j}_rn"] = _conv(sd, f"{pfx}.scratch.layer{j}_rn",
+                                  bias=False)
+    for j in range(1, 5):
+        rp = f"{pfx}.scratch.refinenet{j}"
+        r: Dict[str, Any] = {}
+        if j != 4:
+            r["res1"] = {"conv1": _conv(sd, f"{rp}.resConfUnit1.conv1"),
+                         "conv2": _conv(sd, f"{rp}.resConfUnit1.conv2")}
+        else:
+            # refinenet4 gets no skip input: torch allocates resConfUnit1
+            # anyway; acknowledge the dead weights
+            for leaf in ("conv1.weight", "conv1.bias",
+                         "conv2.weight", "conv2.bias"):
+                sd.mark(f"{rp}.resConfUnit1.{leaf}")
+        r["res2"] = {"conv1": _conv(sd, f"{rp}.resConfUnit2.conv1"),
+                     "conv2": _conv(sd, f"{rp}.resConfUnit2.conv2")}
+        r["out_conv"] = _conv(sd, f"{rp}.out_conv")
+        d[f"refinenet{j}"] = r
+    d["head0"] = _conv(sd, f"{pfx}.head.0")
+    d["head2"] = _conv(sd, f"{pfx}.head.2")
+    d["head4"] = _conv(sd, f"{pfx}.head.4")
+    return d
 
-    The encoder/decoder trunk maps exactly; DPT + descriptor heads are left
-    random-init unless EXTRA_RULES handles them (their source is in the
-    missing vendored submodule; SURVEY §2b row "AsymmetricMASt3R heads").
+
+def convert_state_dict(sd: Dict[str, Any], enc_depth: int, dec_depth: int,
+                       patch_size: int = 16, desc_dim: int = 24,
+                       ) -> Tuple[Dict[str, Any], List[str]]:
+    """Returns (flax params {'params': ...}, unmapped torch keys).
+
+    Maps the full trunk AND the catmlpdpt heads (DPT pointmap head +
+    head_local_features descriptor MLP). A correct MASt3R checkpoint layout
+    yields zero unmapped keys.
     """
-    used = set()
-
-    def take(fn, *args):
-        before = dict(sd)
-        out = fn(before, *args)
-
-        def mark(d, key):
-            for k in d:
-                if isinstance(d[k], dict):
-                    mark(d[k], key)
-            return d
-        return out
-
+    rec = _Rec(sd)
     params: Dict[str, Any] = {}
 
     # encoder
-    enc = {"patch_embed": {"proj": _conv_patch(sd, "patch_embed.proj")},
-           "norm": _ln(sd, "enc_norm")}
+    enc = {"patch_embed": {"proj": _conv(rec, "patch_embed.proj")},
+           "norm": _ln(rec, "enc_norm")}
     for i in range(enc_depth):
-        enc[f"block{i}"] = _enc_block(sd, i)
+        enc[f"block{i}"] = _enc_block(rec, i)
     params["encoder"] = enc
-    used.update(k for k in sd if k.startswith(("patch_embed.", "enc_blocks.",
-                                               "enc_norm.")))
 
     # decoders: the reference shares one decoder_embed for both streams
     for view, prefix in (("1", "dec_blocks"), ("2", "dec_blocks2")):
-        dec = {"embed": _dense(sd, "decoder_embed"),
-               "embed_other": _dense(sd, "decoder_embed"),
-               "norm": _ln(sd, "dec_norm")}
+        dec = {"embed": _dense(rec, "decoder_embed"),
+               "embed_other": _dense(rec, "decoder_embed"),
+               "norm": _ln(rec, "dec_norm")}
         for i in range(dec_depth):
-            dec[f"block{i}"] = _dec_block(sd, prefix, i)
+            dec[f"block{i}"] = _dec_block(rec, prefix, i)
         params[f"decoder{view}"] = dec
-    used.update(k for k in sd if k.startswith(
-        ("decoder_embed.", "dec_blocks.", "dec_blocks2.", "dec_norm.")))
 
-    unmapped = sorted(k for k in sd if k not in used and
-                      not k.startswith(("downstream_head", "mask_token",
-                                        "head_local_features")))
+    # heads
+    for view in ("1", "2"):
+        hp = f"downstream_head{view}"
+        if f"{hp}.dpt.head.0.weight" in sd:
+            params[f"head{view}"] = _dpt_head(rec, f"{hp}.dpt")
+        if f"{hp}.head_local_features.fc1.weight" in sd:
+            params[f"desc_head{view}"] = {
+                "fc1": _dense(rec, f"{hp}.head_local_features.fc1"),
+                "fc2": _fc_pixelshuffle(
+                    rec, f"{hp}.head_local_features.fc2",
+                    patch_size, desc_dim + 1),
+            }
+
+    # acknowledged dead weights
+    rec.mark("mask_token")
+
+    unmapped = sorted(k for k in sd if k not in rec.used)
     return {"params": params}, unmapped
 
 
@@ -143,9 +242,10 @@ def convert_file(pth_path: str, out_path: str, preset: str = "large",
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     cfg = model_preset(preset)
-    mapped, unmapped = convert_state_dict(sd, cfg.enc_depth, cfg.dec_depth)
+    mapped, unmapped = convert_state_dict(sd, cfg.enc_depth, cfg.dec_depth,
+                                          cfg.patch_size, cfg.desc_dim)
 
-    # start from a random init (for heads) and overwrite the mapped trunk
+    # start from a random init and overwrite every mapped leaf
     model = Mast3rModel.init_random(cfg, image_hw=(224, 224))
     params = model.params
 
@@ -172,7 +272,7 @@ def convert_file(pth_path: str, out_path: str, preset: str = "large",
     model = Mast3rModel(cfg, params)
     model.save_pretrained(out_path)
     if verbose:
-        print(f"converted trunk -> {out_path}")
+        print(f"converted -> {out_path}")
         if mismatches:
             print(f"{len(mismatches)} mismatched leaves (first 10):")
             for m in mismatches[:10]:
@@ -181,8 +281,8 @@ def convert_file(pth_path: str, out_path: str, preset: str = "large",
             print(f"{len(unmapped)} unmapped torch keys (first 10):")
             for m in unmapped[:10]:
                 print("  ", m)
-        print("NOTE: DPT/descriptor heads keep random init unless mapped — "
-              "validate against the real checkpoint before production use.")
+        if not mismatches and not unmapped:
+            print("all keys mapped (trunk + DPT + descriptor heads)")
     return mismatches + unmapped
 
 

@@ -12,13 +12,31 @@ reference main.py:46 model id "...catmlpdpt...", reconstruct.py:81
     descriptor confidence — produced by an MLP over [encoder || decoder]
     tokens with pixel-shuffle to full resolution (the "catmlpdpt" pattern).
 
+WEIGHT ISOMORPHISM: module structure and shapes mirror the public MASt3R
+checkpoint layout (mast3r catmlp_dpt_head "Cat_MLP_LocalFeatures_DPT_Pts3d"
+over croco's DPTOutputAdapter), so `io/torch_convert.py` maps every head
+tensor:
+  - reassemble stage i: 1x1 projection (`act{i}_proj`) then x4 / x2 /
+    identity / stride-2-conv rescale. The transposed convolutions of the
+    torch head (kernel==stride, no overlap) are implemented as Dense +
+    pixel-shuffle — mathematically identical and MXU-friendly
+    (`act0_up`, `act1_up`);
+  - `layer{1..4}_rn` 3x3 no-bias convs onto the fusion width;
+  - `refinenet{4..1}` FeatureFusionBlocks, each with two residual conv
+    units (conv1/conv2 with ReLU pre-activations) and a 1x1 `out_conv`;
+  - `head0/head2/head4` output convs (named by their torch Sequential
+    indices 0/2/4).
+Known fidelity note: torch upsamples with align_corners=True; jax.image
+.resize uses half-pixel centers — a sub-pixel sampling difference in the
+fusion upsample, not a weight-mapping difference.
+
 Pointmap parameterization ("exp" mode): raw u -> u / |u| * expm1(|u|), which
 maps R^3 onto all of R^3 with better-conditioned gradients near zero.
 """
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -42,27 +60,64 @@ def postprocess_pointmap(raw: jnp.ndarray, mode: str = "exp"):
     return pts, conf
 
 
-class _FusionBlock(nn.Module):
+class _DenseUpsample(nn.Module):
+    """Non-overlapping transposed conv (kernel == stride) as Dense +
+    pixel-shuffle: out[y*r+dy, x*r+dx, o] = sum_c in[y, x, c] W[c, dy,dx,o].
+    One big GEMM on the MXU instead of a ConvTranspose."""
+
+    dim: int
+    r: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, _ = x.shape
+        r = self.r
+        x = nn.Dense(self.dim * r * r, dtype=self.dtype, name="dense")(x)
+        x = x.reshape(b, h, w, r, r, self.dim)
+        x = x.transpose(0, 1, 3, 2, 4, 5)
+        return x.reshape(b, h * r, w * r, self.dim)
+
+
+class _ResUnit(nn.Module):
+    """ResidualConvUnit: x + conv2(relu(conv1(relu(x))))."""
+
     dim: int
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, skip=None):
-        if skip is not None:
-            x = x + skip
+    def __call__(self, x):
         r = nn.relu(x)
         r = nn.Conv(self.dim, (3, 3), padding="SAME", dtype=self.dtype,
                     name="conv1")(r)
         r = nn.relu(r)
         r = nn.Conv(self.dim, (3, 3), padding="SAME", dtype=self.dtype,
                     name="conv2")(r)
-        x = x + r
+        return x + r
+
+
+class _FusionBlock(nn.Module):
+    """FeatureFusionBlock: optional skip through res1, res2, x2 upsample,
+    1x1 out_conv."""
+
+    dim: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, skip=None):
+        if skip is not None:
+            x = x + _ResUnit(self.dim, self.dtype, name="res1")(skip)
+        x = _ResUnit(self.dim, self.dtype, name="res2")(x)
         b, h, w, c = x.shape
-        return jax.image.resize(x, (b, h * 2, w * 2, c), "bilinear")
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), "bilinear")
+        return nn.Conv(self.dim, (1, 1), dtype=self.dtype,
+                       name="out_conv")(x)
 
 
 class DPTHead(nn.Module):
-    """Dense Prediction Transformer head over 4 decoder hook states.
+    """Dense Prediction Transformer head over 4 hook states
+    ([encoder_out, dec_mid1, dec_mid2, dec_final] — the reference's
+    hooks_idx=[0, 2L/4, 3L/4, L] over [enc] + decoder states).
 
     Reassembles token states into pyramid feature maps (x4, x2, x1, x0.5 of
     the patch grid), fuses coarse->fine with residual conv blocks, and
@@ -70,7 +125,9 @@ class DPTHead(nn.Module):
     """
 
     out_ch: int = 4
-    feat_dim: int = 128
+    feature_dim: int = 256
+    layer_dims: Tuple[int, int, int, int] = (96, 192, 384, 768)
+    last_dim: int = 128
     patch_size: int = 16
     dtype: Any = jnp.bfloat16
 
@@ -79,37 +136,44 @@ class DPTHead(nn.Module):
                  img_h: int, img_w: int) -> jnp.ndarray:
         assert len(states) == 4
         b = states[0].shape[0]
-        fd = self.feat_dim
-        # reassemble: project + reshape to patch grid + rescale
-        scales = (4, 2, 1, 0.5)
+        fd = self.feature_dim
         feats = []
-        for i, (s, k) in enumerate(zip(states, scales)):
-            f = nn.Dense(fd, dtype=self.dtype, name=f"proj{i}")(s)
-            f = f.reshape(b, hp, wp, fd)
-            nh, nw = int(hp * k), int(wp * k)
-            if (nh, nw) != (hp, wp):
-                f = jax.image.resize(f, (b, nh, nw, fd), "bilinear")
-            f = nn.Conv(fd, (3, 3), padding="SAME", dtype=self.dtype,
-                        name=f"rn{i}")(f)
+        for i, s in enumerate(states):
+            ld = self.layer_dims[i]
+            f = nn.Dense(ld, dtype=self.dtype, name=f"act{i}_proj")(s)
+            f = f.reshape(b, hp, wp, ld)
+            if i == 0:
+                f = _DenseUpsample(ld, 4, self.dtype, name="act0_up")(f)
+            elif i == 1:
+                f = _DenseUpsample(ld, 2, self.dtype, name="act1_up")(f)
+            elif i == 3:
+                # stride-2 3x3 conv, symmetric padding (torch padding=1)
+                f = nn.Conv(ld, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)), dtype=self.dtype,
+                            name="act3_down")(f)
+            f = nn.Conv(fd, (3, 3), padding="SAME", use_bias=False,
+                        dtype=self.dtype, name=f"layer{i + 1}_rn")(f)
             feats.append(f)
-        # fusion, deepest (smallest) first
-        x = _FusionBlock(fd, self.dtype, name="fuse3")(feats[3])
-        x = _FusionBlock(fd, self.dtype, name="fuse2")(x, feats[2])
-        x = _FusionBlock(fd, self.dtype, name="fuse1")(x, feats[1])
-        x = _FusionBlock(fd, self.dtype, name="fuse0")(x, feats[0])
+        # fusion, deepest (smallest) first: refinenet4 -> refinenet1
+        x = _FusionBlock(fd, self.dtype, name="refinenet4")(feats[3])
+        x = _FusionBlock(fd, self.dtype, name="refinenet3")(x, feats[2])
+        x = _FusionBlock(fd, self.dtype, name="refinenet2")(x, feats[1])
+        x = _FusionBlock(fd, self.dtype, name="refinenet1")(x, feats[0])
         # x is now at 8x patch grid = img/2 resolution
         x = nn.Conv(fd // 2, (3, 3), padding="SAME", dtype=self.dtype,
-                    name="head1")(x)
+                    name="head0")(x)
         x = jax.image.resize(x, (b, img_h, img_w, fd // 2), "bilinear")
-        x = nn.Conv(32, (3, 3), padding="SAME", dtype=self.dtype,
+        x = nn.Conv(self.last_dim, (3, 3), padding="SAME", dtype=self.dtype,
                     name="head2")(x)
         x = nn.relu(x)
-        x = nn.Conv(self.out_ch, (1, 1), dtype=jnp.float32, name="head3")(x)
+        x = nn.Conv(self.out_ch, (1, 1), dtype=jnp.float32,
+                    name="head4")(x)
         return x  # (B, H, W, out_ch) float32
 
 
 class DescriptorHead(nn.Module):
-    """MLP + pixel-shuffle local-feature head ("catmlpdpt" analog).
+    """MLP + pixel-shuffle local-feature head (the reference's
+    `head_local_features`: Mlp(idim, 4*idim, (desc_dim+1)*p^2)).
 
     Input: concat of encoder tokens and final decoder tokens; output per
     pixel: desc_dim channels (L2-normalized) + 1 confidence channel.
@@ -117,20 +181,22 @@ class DescriptorHead(nn.Module):
 
     desc_dim: int = 24
     patch_size: int = 16
-    hidden_ratio: float = 2.0
+    hidden_factor: float = 4.0   # reference hidden_dim_factor=4 over idim
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, enc_tokens, dec_tokens, hp: int, wp: int):
         x = jnp.concatenate([enc_tokens, dec_tokens], axis=-1)
-        b, t, _ = x.shape
+        b, t, idim = x.shape
         p = self.patch_size
         out_ch = self.desc_dim + 1
-        hidden = int(out_ch * p * p * self.hidden_ratio)
+        hidden = int(self.hidden_factor * idim)
         x = nn.Dense(hidden, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x)
         x = nn.Dense(out_ch * p * p, dtype=jnp.float32, name="fc2")(x)
-        # pixel shuffle: (B, T, p*p*C) -> (B, H, W, C)
+        # pixel shuffle: (B, T, p*p*C) -> (B, H, W, C); channel-minor
+        # (i, j, c) layout — the converter permutes torch's (c, i, j)
+        # pixel_shuffle ordering into this layout
         x = x.reshape(b, hp, wp, p, p, out_ch)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp * p, wp * p, out_ch)
         desc = x[..., : self.desc_dim]

@@ -38,9 +38,12 @@ def _dtype_of(cfg: ModelConfig):
     return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.dtype]
 
 
-def _dpt_hooks(depth: int) -> Tuple[int, int, int, int]:
-    """Pick 4 decoder states (indices into states list of length depth+1)."""
-    return (0, max(1, depth // 2), max(2, (3 * depth) // 4), depth)
+def _dpt_hooks(depth: int) -> Tuple[int, int]:
+    """The two MID-decoder hook indices (into the states list, where
+    states[i] is decoder block i's output). The full DPT hook set is
+    [encoder_out, states[hooks[0]], states[hooks[1]], states[depth]] —
+    the reference's hooks_idx=[0, 2L/4, 3L/4, L] over [enc]+dec states."""
+    return (max(1, depth // 2), max(1, (3 * depth) // 4))
 
 
 class TwoViewNet(nn.Module):
@@ -70,19 +73,22 @@ class TwoViewNet(nn.Module):
         feats = encoder(jnp.concatenate([img1, img2], axis=0))
         f1, f2 = feats[:b], feats[b:]
 
-        hooks = _dpt_hooks(cfg.dec_depth)
+        h1, h2 = _dpt_hooks(cfg.dec_depth)
         outs = {}
         for view, (fs, fo) in (("1", (f1, f2)), ("2", (f2, f1))):
             dec = Decoder(cfg.dec_depth, cfg.dec_dim, cfg.dec_heads,
                           cfg.enc_dim, cfg.mlp_ratio, cfg.rope_base, dt,
                           name=f"decoder{view}")
             states = dec(fs, fo, pos, pos)
-            hook_states = [states[i] for i in hooks]
-            raw = DPTHead(4, max(64, cfg.dec_dim // 4), cfg.patch_size, dt,
+            # DPT hooks: raw ENCODER tokens + two mid-decoder states +
+            # final normalized decoder tokens (checkpoint hook layout)
+            hook_states = [fs, states[h1], states[h2], states[-1]]
+            raw = DPTHead(4, cfg.dpt_feature_dim, cfg.dpt_layer_dims,
+                          cfg.dpt_last_dim, cfg.patch_size, dt,
                           name=f"head{view}")(hook_states, hp, wp, h, w)
             pts, conf = postprocess_pointmap(raw, cfg.pointmap_mode)
             desc, desc_conf = DescriptorHead(
-                cfg.desc_dim, cfg.patch_size, dtype=dt,
+                cfg.desc_dim, cfg.patch_size, cfg.desc_hidden_factor, dt,
                 name=f"desc_head{view}")(fs, states[-1], hp, wp)
             outs[f"pts{view}"] = pts
             outs[f"conf{view}"] = conf
@@ -141,7 +147,9 @@ class Mast3rModel:
         import json
         with np.load(path, allow_pickle=False) as data:
             cfg_json = bytes(data["__config__"].tolist()).decode()
-        saved_cfg = ModelConfig(**json.loads(cfg_json))
+        loaded = {k: tuple(v) if isinstance(v, list) else v
+                  for k, v in json.loads(cfg_json).items()}
+        saved_cfg = ModelConfig(**loaded)
         cfg = cfg or saved_cfg
         model = cls.init_random(cfg)
         model.params = restore_pytree_npz(path, model.params)

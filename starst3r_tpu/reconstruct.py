@@ -231,7 +231,6 @@ def reconstruct_scene(
         # every camera to its MST ancestors; LM re-solves the decoupled
         # problem around the GA optimum (alignment/lm.py docstring)
         with timer("lm_refine"), trace_if("lm_refine"):
-            from .alignment.lm import lm_refine
             conf = (np.asarray(data.corr_conf)
                     * np.asarray(data.pair_matching_ok)[
                         np.asarray(data.corr_pair)])
@@ -239,13 +238,28 @@ def reconstruct_scene(
                 both = (np.asarray(freeze)[data.corr_img1]
                         & np.asarray(freeze)[data.corr_img2])
                 conf = conf * (~both)
-            cam2w_out, focals_r, lm_costs = lm_refine(
-                cam2w_out, K_out[:, 0, 0], K_out[:, :2, 2],
-                np.asarray(result.depth), np.asarray(data.core_pix),
-                np.asarray(data.corr_img1), np.asarray(data.corr_idx1),
-                np.asarray(data.corr_img2), np.asarray(data.corr_idx2),
-                conf.astype(np.float32), iters=cfg.ga.lm_iters,
-                damping=cfg.ga.lm_damping, mesh=mesh)
+            if cfg.ga.lm_mode == "schur":
+                from .alignment.schur import build_tracks, schur_refine
+                tracks = build_tracks(
+                    np.asarray(data.corr_img1), np.asarray(data.corr_idx1),
+                    np.asarray(data.corr_img2), np.asarray(data.corr_idx2),
+                    conf.astype(np.float32), n,
+                    np.asarray(data.core_pix).shape[0],
+                    max_obs=cfg.ga.lm_max_obs)
+                cam2w_out, focals_r, lm_costs = schur_refine(
+                    cam2w_out, K_out[:, 0, 0], K_out[:, :2, 2],
+                    np.asarray(result.depth), np.asarray(data.core_pix),
+                    tracks, iters=cfg.ga.lm_iters,
+                    damping=cfg.ga.lm_damping, mesh=mesh)
+            else:
+                from .alignment.lm import lm_refine
+                cam2w_out, focals_r, lm_costs = lm_refine(
+                    cam2w_out, K_out[:, 0, 0], K_out[:, :2, 2],
+                    np.asarray(result.depth), np.asarray(data.core_pix),
+                    np.asarray(data.corr_img1), np.asarray(data.corr_idx1),
+                    np.asarray(data.corr_img2), np.asarray(data.corr_idx2),
+                    conf.astype(np.float32), iters=cfg.ga.lm_iters,
+                    damping=cfg.ga.lm_damping, mesh=mesh)
             K_out = K_out.copy()
             K_out[:, 0, 0] = focals_r
             K_out[:, 1, 1] = focals_r

@@ -182,19 +182,28 @@ def _bin_gaussians(proj: Projected, tw: int, th: int, tile: int,
 
 
 def _gather_entries(proj: Projected, sorted_idx, starts, max_per_tile: int):
-    """Per-tile depth-ordered entry attributes (static capacity).
+    """Gather per-tile entry attributes.
+
+    All 9 per-Gaussian attributes (mean2d, conic, color, opacity) are packed
+    into ONE (N, 9) matrix and gathered once — measured 2.4x faster than
+    four separate gathers on TPU (tools/probe_projbin_variants.py); the
+    unpacking slices fuse into the consumers.
 
     Returns (g_mean (T,K,2), g_conic (T,K,3), g_color (T,K,3),
-    g_op (T,K) zeroed beyond each tile's count, counts (T,))."""
+    g_op (T,K) zeroed beyond each tile's count, counts (T,), overflow)."""
     slot = jnp.arange(max_per_tile, dtype=jnp.int32)      # (K,)
     ent = starts[:-1, None] + slot[None, :]               # (T, K)
     ent_valid = ent < starts[1:, None]
     ent = jnp.minimum(ent, sorted_idx.shape[0] - 1)
     gidx = sorted_idx[ent]                                # (T, K)
-    g_mean = proj.means2d[gidx]                           # (T, K, 2)
-    g_conic = proj.conics[gidx]                           # (T, K, 3)
-    g_color = proj.colors[gidx]                           # (T, K, 3)
-    g_op = jnp.where(ent_valid, proj.opacities[gidx], 0.0)  # (T, K)
+    packed = jnp.concatenate(
+        [proj.means2d, proj.conics, proj.colors, proj.opacities[:, None]],
+        axis=1)                                           # (N, 9)
+    ga = packed[gidx]                                     # (T, K, 9)
+    g_mean = ga[..., 0:2]
+    g_conic = ga[..., 2:5]
+    g_color = ga[..., 5:8]
+    g_op = jnp.where(ent_valid, ga[..., 8], 0.0)          # (T, K)
     raw_counts = (starts[1:] - starts[:-1]).astype(jnp.int32)
     counts = jnp.minimum(raw_counts, max_per_tile)
     overflow = jnp.sum(jnp.maximum(raw_counts - max_per_tile, 0))
@@ -296,6 +305,18 @@ def _alpha_chunk(cm, cc, cop, pix_x, pix_y):
     return alpha, raw, expsig, ok, dx, dy
 
 
+def _tri_mats(ch: int):
+    """Triangular matmul operators replacing cum{prod,sum} along the chunk
+    axis: Linc[i,j]=1 for j<=i (inclusive prefix), Usuf[i,j]=1 for j>=i
+    (inclusive suffix). Cumulative ops become (ch,ch)@(ch,P) batched
+    matmuls on the MXU — measured 5.3x faster fwd / 2.4x faster bwd than
+    XLA's cumprod/cumsum lowering at bench scale (tools/probe_cum_variants).
+    """
+    r = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 1)
+    return ((c <= r).astype(jnp.float32), (c >= r).astype(jnp.float32))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def _composite_xla(g_mean, g_conic, g_color, g_op, pix_x, pix_y, chunk: int):
     """Front-to-back compositing with a hand-derived backward.
@@ -307,6 +328,9 @@ def _composite_xla(g_mean, g_conic, g_color, g_op, pix_x, pix_y, chunk: int):
     each entry's incoming transmittance T_j = T_after / suffix_prod(1-a)
     and the suffix color accumulator S_j, yielding exact per-entry
     gradients — no rematerialized autodiff, cost ~1.5x forward.
+
+    Within a chunk, prefix/suffix products ride the MXU as log ->
+    triangular matmul -> exp (see _tri_mats).
 
     g_mean (T,K,2), g_conic (T,K,3), g_color (T,K,3), g_op (T,K) zeroed
     beyond each tile's count; pix_x/pix_y (T,P). Returns
@@ -320,6 +344,7 @@ def _composite_xla_fwd_scan(g_mean, g_conic, g_color, g_op, pix_x, pix_y,
     t_total, k = g_op.shape
     p = pix_x.shape[1]
     n_chunks = k // chunk
+    linc, _ = _tri_mats(chunk)
 
     def body(carry, s):
         acc_rgb, acc_t = carry                            # (T,P,3), (T,P)
@@ -329,13 +354,12 @@ def _composite_xla_fwd_scan(g_mean, g_conic, g_color, g_op, pix_x, pix_y,
         ccol = sl(g_color, s * chunk, chunk, 1)
         cop = sl(g_op, s * chunk, chunk, 1)
         alpha, _, _, _, _, _ = _alpha_chunk(cm, cc, cop, pix_x, pix_y)
-        one_m = 1.0 - alpha                               # (T, c, P)
-        cum = jnp.cumprod(one_m, axis=1)
-        cum_excl = jnp.concatenate(
-            [jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=1)
+        log_om = jnp.log1p(-alpha)                        # (T, c, P)
+        pref = jnp.einsum("ij,tjp->tip", linc, log_om)    # inclusive prefix
+        cum_excl = jnp.exp(pref - log_om)
         wgt = alpha * cum_excl * acc_t[:, None, :]        # (T, c, P)
         acc_rgb = acc_rgb + jnp.einsum("tcp,tcd->tpd", wgt, ccol)
-        acc_t = acc_t * cum[:, -1]
+        acc_t = acc_t * jnp.exp(pref[:, -1, :])
         return (acc_rgb, acc_t), None
 
     init = (jnp.zeros((t_total, p, 3), jnp.float32),
@@ -357,6 +381,7 @@ def _composite_xla_bwd(chunk: int, res, cts):
     g_rgb, g_trans = cts                                  # (T,P,3), (T,P)
     t_total, k = g_op.shape
     n_chunks = k // chunk
+    _, usuf = _tri_mats(chunk)
     gt_term = (g_trans * t_fin)[:, None, :]               # (T, 1, P)
 
     def body(carry, s):
@@ -369,13 +394,14 @@ def _composite_xla_bwd(chunk: int, res, cts):
         alpha, raw, expsig, ok, dx, dy = _alpha_chunk(cm, cc, cop,
                                                       pix_x, pix_y)
         one_m = 1.0 - alpha
-        # inclusive suffix product of (1 - alpha) within the chunk
-        rev_cum = jnp.cumprod(one_m[:, ::-1, :], axis=1)[:, ::-1, :]
+        # inclusive suffix product of (1 - alpha) within the chunk (MXU)
+        rev_cum = jnp.exp(jnp.einsum("ij,tjp->tip", usuf,
+                                     jnp.log1p(-alpha)))
         t_j = t_after[:, None, :] / jnp.maximum(rev_cum, 1e-30)  # (T,c,P)
         cdotg = jnp.einsum("tcd,tpd->tcp", ccol, g_rgb)
         w_j = alpha * t_j
         contrib = w_j * cdotg
-        suf_incl = jnp.cumsum(contrib[:, ::-1, :], axis=1)[:, ::-1, :]
+        suf_incl = jnp.einsum("ij,tjp->tip", usuf, contrib)
         s_j = (suf_incl - contrib) + s_carry[:, None, :]
         inv_1m = 1.0 / jnp.maximum(one_m, 1e-3)
         # d trans_fin / d alpha_j = -t_fin / (1 - alpha_j)

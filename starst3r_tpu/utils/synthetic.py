@@ -1,0 +1,132 @@
+"""Synthetic planted-pose scenes for quality measurement.
+
+Shared by the GA ground-truth tests (tests/test_ga_groundtruth.py) and the
+benchmark harness (bench.py reports ATE/RPE from this scene as the
+operational quality metric, BASELINE.md "ATE on demo sequences"): cameras
+on an arc observe a known sphere; correspondences are geometrically exact
+up to core-grid snapping (~1px), so `run_global_alignment` must recover the
+trajectory to a tight ATE bound — a subtly wrong GA (sign error, reversed
+chain, bad reparameterization) cannot.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..alignment.condense import CondensedData
+from ..ops.matching import subsample_grid_indices
+
+__all__ = ("synthetic_ga_scene",)
+
+
+def _look_at_poses(n):
+    """Cameras on an arc with real baseline, all facing the sphere (+z)."""
+    c2w = []
+    for k in range(n):
+        ang = (k - (n - 1) / 2) * 0.25
+        off = np.array([1.2 * np.sin(ang), 0.25 * k,
+                        0.5 * (1 - np.cos(ang))])
+        ry = np.array([[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
+                       [-np.sin(ang), 0, np.cos(ang)]])
+        m = np.eye(4)
+        m[:3, :3] = ry
+        m[:3, 3] = off
+        c2w.append(m)
+    return np.stack(c2w)
+
+
+def _ray_sphere_depth(c2w, K, pix, sph_c, sph_r):
+    """Depth along camera z of the first ray-sphere intersection."""
+    d_cam = np.stack([(pix[:, 0] - K[0, 2]) / K[0, 0],
+                      (pix[:, 1] - K[1, 2]) / K[1, 1],
+                      np.ones(len(pix))], -1)
+    d_w = d_cam @ c2w[:3, :3].T
+    o = c2w[:3, 3]
+    oc = o - sph_c
+    b = (d_w * oc).sum(-1)
+    cterm = (oc * oc).sum() - sph_r ** 2
+    a = (d_w * d_w).sum(-1)
+    disc = np.maximum(b * b - a * cterm, 1e-9)
+    return (-b - np.sqrt(disc)) / a
+
+
+def _project(c2w, K, X):
+    R = c2w[:3, :3].T
+    t = -R @ c2w[:3, 3]
+    cam = X @ R.T + t
+    z = cam[:, 2]
+    u = K[0, 0] * cam[:, 0] / z + K[0, 2]
+    v = K[1, 1] * cam[:, 1] / z + K[1, 2]
+    return np.stack([u, v], -1), z
+
+
+def synthetic_ga_scene(n_cams: int = 4, hw: int = 128, focal: float = 180.0,
+                       subsample: int = 4, focal_error: float = 0.0):
+    """Planted multi-view scene on a sphere (curved — no planar SfM
+    degeneracy).
+
+    Returns (data: CondensedData, mst: (root, edges), gt_c2w (C,4,4),
+    K (3,3)). The construction's only noise is core-grid snapping (~1px).
+    """
+    h = w = hw
+    sph_c = np.array([0.0, 0.0, 4.0])
+    sph_r = 2.0
+    gt = _look_at_poses(n_cams)
+    K = np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]])
+    grid, hs, ws = subsample_grid_indices(h, w, subsample)
+    grid = np.asarray(grid)
+    s = grid.shape[0]
+    core_pix = np.stack([grid % w, grid // w], -1).astype(np.float64)
+    depths = np.stack([_ray_sphere_depth(gt[i], K, core_pix, sph_c, sph_r)
+                       for i in range(n_cams)])
+    pts = []
+    for i in range(n_cams):
+        dc = np.stack([(core_pix[:, 0] - K[0, 2]) / K[0, 0] * depths[i],
+                       (core_pix[:, 1] - K[1, 2]) / K[1, 1] * depths[i],
+                       depths[i]], -1)
+        pts.append(dc @ gt[i][:3, :3].T + gt[i][:3, 3])
+    pts = np.stack(pts)
+
+    pairs = [(i, j) for i in range(n_cams) for j in range(n_cams) if i != j]
+    p = len(pairs)
+    ci1 = np.zeros((p, s), np.int32)
+    cx1 = np.zeros((p, s), np.int32)
+    ci2 = np.zeros((p, s), np.int32)
+    cx2 = np.zeros((p, s), np.int32)
+    cc = np.zeros((p, s), np.float32)
+    cp = np.zeros((p, s), np.int32)
+    for k, (i, j) in enumerate(pairs):
+        uv, z = _project(gt[j], K, pts[i])
+        gx = np.clip(np.round((uv[:, 0] - subsample // 2) / subsample),
+                     0, ws - 1)
+        gy = np.clip(np.round((uv[:, 1] - subsample // 2) / subsample),
+                     0, hs - 1)
+        idx2 = (gy * ws + gx).astype(np.int32)
+        inside = ((uv[:, 0] > 1) & (uv[:, 0] < w - 2) & (uv[:, 1] > 1)
+                  & (uv[:, 1] < h - 2) & (z > 0.1))
+        ci1[k] = i
+        cx1[k] = np.arange(s)
+        ci2[k] = j
+        cx2[k] = idx2
+        cc[k] = inside.astype(np.float32)
+        cp[k] = k
+
+    med = np.median(depths, axis=1)
+    data = CondensedData(
+        imsizes=np.tile(np.array([[w, h]], np.float32), (n_cams, 1)),
+        pps=np.tile(np.array([[0.5, 0.5]], np.float32), (n_cams, 1)),
+        base_focals=np.full(n_cams, focal * (1 + focal_error), np.float32),
+        core_depth=(depths / med[:, None]).astype(np.float32),
+        median_depths=med.astype(np.float32),
+        core_pix=core_pix.astype(np.float32),
+        corr_img1=ci1.reshape(-1), corr_idx1=cx1.reshape(-1),
+        corr_img2=ci2.reshape(-1), corr_idx2=cx2.reshape(-1),
+        corr_conf=cc.reshape(-1), corr_pair=cp.reshape(-1),
+        pair_img1=np.array([a for a, _ in pairs], np.int32),
+        pair_img2=np.array([b for _, b in pairs], np.int32),
+        pair_matching_ok=np.ones(p, bool),
+        preds21_pts=np.zeros((p, s, 3), np.float32),
+        preds21_conf=np.zeros((p, s), np.float32),
+    )
+    mst = (0, [(i, i + 1) for i in range(n_cams - 1)])
+    return data, mst, gt, K

@@ -22,117 +22,21 @@ import pytest
 import jax.numpy as jnp
 
 from starst3r_tpu.alignment import ga as ga_mod
-from starst3r_tpu.alignment.condense import CondensedData
 from starst3r_tpu.alignment.ga import run_global_alignment
 from starst3r_tpu.config import GAConfig
-from starst3r_tpu.ops.matching import subsample_grid_indices
 from starst3r_tpu.utils.eval import ate_rmse, rpe_rotation_deg
+from starst3r_tpu.utils.synthetic import synthetic_ga_scene
 
 H = W = 128
 F_GT = 180.0
 SUB = 4
-SPH_C = np.array([0.0, 0.0, 4.0])
-SPH_R = 2.0
 N_CAMS = 4
 
 
-def _look_at_poses(n):
-    """Cameras on an arc with real baseline, all facing the sphere (+z)."""
-    c2w = []
-    for k in range(n):
-        ang = (k - (n - 1) / 2) * 0.25
-        off = np.array([1.2 * np.sin(ang), 0.25 * k, 0.5 * (1 - np.cos(ang))])
-        ry = np.array([[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
-                       [-np.sin(ang), 0, np.cos(ang)]])
-        m = np.eye(4)
-        m[:3, :3] = ry
-        m[:3, 3] = off
-        c2w.append(m)
-    return np.stack(c2w)
-
-
-def _ray_sphere_depth(c2w, K, pix):
-    """Depth along camera z of the first ray-sphere intersection."""
-    d_cam = np.stack([(pix[:, 0] - K[0, 2]) / K[0, 0],
-                      (pix[:, 1] - K[1, 2]) / K[1, 1],
-                      np.ones(len(pix))], -1)
-    d_w = d_cam @ c2w[:3, :3].T
-    o = c2w[:3, 3]
-    oc = o - SPH_C
-    b = (d_w * oc).sum(-1)
-    cterm = (oc * oc).sum() - SPH_R ** 2
-    a = (d_w * d_w).sum(-1)
-    disc = np.maximum(b * b - a * cterm, 1e-9)
-    return (-b - np.sqrt(disc)) / a
-
-
-def _project(c2w, K, X):
-    R = c2w[:3, :3].T
-    t = -R @ c2w[:3, 3]
-    cam = X @ R.T + t
-    z = cam[:, 2]
-    u = K[0, 0] * cam[:, 0] / z + K[0, 2]
-    v = K[1, 1] * cam[:, 1] / z + K[1, 2]
-    return np.stack([u, v], -1), z
-
-
 def _build_synthetic(focal_error: float = 0.0):
-    gt = _look_at_poses(N_CAMS)
-    K = np.array([[F_GT, 0, W / 2], [0, F_GT, H / 2], [0, 0, 1]])
-    grid, hs, ws = subsample_grid_indices(H, W, SUB)
-    grid = np.asarray(grid)
-    s = grid.shape[0]
-    core_pix = np.stack([grid % W, grid // W], -1).astype(np.float64)
-    depths = np.stack([_ray_sphere_depth(gt[i], K, core_pix)
-                       for i in range(N_CAMS)])
-    pts = []
-    for i in range(N_CAMS):
-        dc = np.stack([(core_pix[:, 0] - K[0, 2]) / K[0, 0] * depths[i],
-                       (core_pix[:, 1] - K[1, 2]) / K[1, 1] * depths[i],
-                       depths[i]], -1)
-        pts.append(dc @ gt[i][:3, :3].T + gt[i][:3, 3])
-    pts = np.stack(pts)
-
-    pairs = [(i, j) for i in range(N_CAMS) for j in range(N_CAMS) if i != j]
-    p = len(pairs)
-    ci1 = np.zeros((p, s), np.int32)
-    cx1 = np.zeros((p, s), np.int32)
-    ci2 = np.zeros((p, s), np.int32)
-    cx2 = np.zeros((p, s), np.int32)
-    cc = np.zeros((p, s), np.float32)
-    cp = np.zeros((p, s), np.int32)
-    for k, (i, j) in enumerate(pairs):
-        uv, z = _project(gt[j], K, pts[i])
-        gx = np.clip(np.round((uv[:, 0] - SUB // 2) / SUB), 0, ws - 1)
-        gy = np.clip(np.round((uv[:, 1] - SUB // 2) / SUB), 0, hs - 1)
-        idx2 = (gy * ws + gx).astype(np.int32)
-        inside = ((uv[:, 0] > 1) & (uv[:, 0] < W - 2) & (uv[:, 1] > 1)
-                  & (uv[:, 1] < H - 2) & (z > 0.1))
-        ci1[k] = i
-        cx1[k] = np.arange(s)
-        ci2[k] = j
-        cx2[k] = idx2
-        cc[k] = inside.astype(np.float32)
-        cp[k] = k
-
-    med = np.median(depths, axis=1)
-    data = CondensedData(
-        imsizes=np.tile(np.array([[W, H]], np.float32), (N_CAMS, 1)),
-        pps=np.tile(np.array([[0.5, 0.5]], np.float32), (N_CAMS, 1)),
-        base_focals=np.full(N_CAMS, F_GT * (1 + focal_error), np.float32),
-        core_depth=(depths / med[:, None]).astype(np.float32),
-        median_depths=med.astype(np.float32),
-        core_pix=core_pix.astype(np.float32),
-        corr_img1=ci1.reshape(-1), corr_idx1=cx1.reshape(-1),
-        corr_img2=ci2.reshape(-1), corr_idx2=cx2.reshape(-1),
-        corr_conf=cc.reshape(-1), corr_pair=cp.reshape(-1),
-        pair_img1=np.array([a for a, _ in pairs], np.int32),
-        pair_img2=np.array([b for _, b in pairs], np.int32),
-        pair_matching_ok=np.ones(p, bool),
-        preds21_pts=np.zeros((p, s, 3), np.float32),
-        preds21_conf=np.zeros((p, s), np.float32),
-    )
-    mst = (0, [(i, i + 1) for i in range(N_CAMS - 1)])
+    data, mst, gt, _ = synthetic_ga_scene(
+        n_cams=N_CAMS, hw=H, focal=F_GT, subsample=SUB,
+        focal_error=focal_error)
     return data, mst, gt
 
 

@@ -30,13 +30,14 @@ def _images(n, rng, hw=(64, 64)):
             for _ in range(n)]
 
 
-def test_reconstruct_with_lm_refine(tiny_model, fast_cfg, rng):
-    """--refine-lm wiring: post-GA LM polish runs in the pipeline, returns
-    valid SE(3) poses, and reports decreasing cost to the logger."""
+@pytest.mark.parametrize("mode", ["lm", "schur"])
+def test_reconstruct_with_lm_refine(tiny_model, fast_cfg, rng, mode):
+    """--refine-lm wiring (both modes): post-GA polish runs in the
+    pipeline, returns valid SE(3) poses, and reports decreasing cost."""
     from starst3r_tpu.utils.metrics import MetricsLogger
     cfg = dataclasses.replace(
         fast_cfg, ga=dataclasses.replace(fast_cfg.ga, refine_lm=True,
-                                         lm_iters=4))
+                                         lm_iters=4, lm_mode=mode))
     imgs = _images(3, rng)
     logger = MetricsLogger()
     rec, _ = st.reconstruct_scene(tiny_model, imgs, config=cfg,
