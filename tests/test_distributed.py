@@ -99,3 +99,36 @@ def test_infer_pairs_sharded_matches(mesh, rng):
         # cross-device placement changes f32 reduction order slightly
         np.testing.assert_allclose(a.pts1, b.pts1, atol=1e-3)
         np.testing.assert_allclose(a.desc2, b.desc2, atol=1e-3)
+
+
+def test_tensor_parallel_inference_matches(rng):
+    """Megatron-style TP of the ViT over a (data=2, model=4) mesh matches
+    single-device inference (parallel/tp.py; SURVEY §2c tensor-parallel
+    row). Params are sharded column/row-wise; GSPMD inserts the psums."""
+    from starst3r_tpu.parallel.tp import tp_param_specs, tp_shard_params
+
+    mesh2d = make_mesh(data=2, model=4)
+    model = st.Mast3rModel.init_random(st.ModelConfig.tiny(),
+                                       image_hw=(32, 32))
+    img1 = rng.uniform(-1, 1, size=(4, 32, 32, 3)).astype(np.float32)
+    img2 = rng.uniform(-1, 1, size=(4, 32, 32, 3)).astype(np.float32)
+    ref = jax.tree_util.tree_map(
+        np.asarray, model.infer_pair_batch(jnp.asarray(img1),
+                                           jnp.asarray(img2)))
+
+    # at least the transformer matmuls must actually be sharded
+    from jax.sharding import PartitionSpec as P
+    specs = jax.tree_util.tree_leaves(
+        tp_param_specs(model.params), is_leaf=lambda x: isinstance(x, P))
+    n_sharded = sum(1 for s in specs if "model" in tuple(s))
+    assert n_sharded >= 20, n_sharded
+
+    tp_params = tp_shard_params(model.params, mesh2d)
+    data_sh = pair_sharding(mesh2d, "data")
+    out = model.net.apply(
+        tp_params,
+        jax.device_put(jnp.asarray(img1), data_sh),
+        jax.device_put(jnp.asarray(img2), data_sh))
+    out = jax.tree_util.tree_map(np.asarray, out)
+    for k in ("pts1", "conf2", "desc1", "desc_conf2"):
+        np.testing.assert_allclose(out[k], ref[k], atol=2e-3)

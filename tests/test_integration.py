@@ -139,3 +139,40 @@ def test_pair_cache_hits(tiny_model, fast_cfg, rng, tmp_path):
         tiny_model.infer_pairs = orig
     assert calls["n"] == 0
     np.testing.assert_allclose(rec1.cam2w, rec2.cam2w, atol=1e-4)
+
+
+def test_crash_resume_from_checkpoint(tiny_model, fast_cfg, rng, tmp_path):
+    """Failure-recovery story (SURVEY §5 failure-detection row): a run that
+    dies after a checkpoint resumes from disk — Scene.load restores poses +
+    GA warm-start params + GT images bit-exactly, the pair cache is reused
+    (no re-inference of completed pairs), and the pipeline continues with
+    add_images exactly like the uninterrupted warm-start path."""
+    cache_dir = str(tmp_path / "cache")
+    ckpt = str(tmp_path / "scene.ckpt")
+    imgs = _images(3, rng)
+
+    scene = st.Scene(cache_dir=cache_dir, config=fast_cfg)
+    scene.add_images(tiny_model, imgs[:2])
+    p_before = scene.optim_params
+    c2w_before = scene.c2w.copy()
+    scene.save(ckpt)
+    del scene  # "crash"
+
+    resumed = st.Scene.load(ckpt, cache_dir=cache_dir, config=fast_cfg)
+    # bit-exact state restore
+    np.testing.assert_array_equal(resumed.c2w, c2w_before)
+    assert resumed.optim_params is not None
+    np.testing.assert_array_equal(np.asarray(resumed.optim_params.quats),
+                                  np.asarray(p_before.quats))
+    np.testing.assert_array_equal(resumed.raw_imgs[0], imgs[0])
+
+    # continuing re-infers only the new pair frontier: the 2 symmetric
+    # pairs of the first call are already on disk as cache entries
+    import glob
+    import os
+    n_cached = len(glob.glob(os.path.join(cache_dir, "*")))
+    assert n_cached >= 2
+    resumed.add_images(tiny_model, imgs[2:])
+    assert resumed.c2w.shape == (3, 4, 4)
+    assert np.all(np.isfinite(resumed.c2w))
+    assert resumed.optim_params.quats.shape[0] == 3
