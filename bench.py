@@ -80,7 +80,7 @@ def main():
     # ---------------- pairwise inference throughput -----------------------
     mcfg = ModelConfig.base()
     model = Mast3rModel.init_random(mcfg, image_hw=(224, 224))
-    b = 4
+    b = 16   # large pair batch: 196-token GEMMs need >=3k rows to fill MXU
     img = jnp.asarray(rng.uniform(-1, 1, size=(b, 224, 224, 3))
                       .astype(np.float32))
 

@@ -178,19 +178,75 @@ def _bin_gaussians(proj: Projected, tw: int, th: int, tile: int,
         (flat_tile, flat_depth, flat_idx), num_keys=2)
     starts = jnp.searchsorted(sorted_tile,
                               jnp.arange(t_total + 1, dtype=jnp.int32))
-    return sorted_tile, sorted_idx, starts, n_clipped
+    # group sorted positions by owning Gaussian (each Gaussian owns exactly
+    # `max_tiles` flat entries): by_gauss.reshape(N, max_tiles)[n] lists the
+    # sorted positions of Gaussian n's entries. This turns the gather
+    # BACKWARD into two dense gathers + a length-max_tiles segment sum —
+    # no scatter-add (TPU scatters serialize; tools/probe_gather_bwd.py).
+    _, by_gauss = jax.lax.sort(
+        (sorted_idx, jnp.arange(sorted_idx.shape[0], dtype=jnp.int32)),
+        num_keys=1)
+    return sorted_tile, sorted_idx, starts, by_gauss, n_clipped
 
 
-def _gather_entries(proj: Projected, sorted_idx, starts, max_per_tile: int):
+@jax.custom_vjp
+def _gather_packed(packed, gidx, ent_valid, sorted_tile, starts, by_gauss_2d):
+    """``packed[gidx] * ent_valid`` with a scatter-free backward.
+
+    The autodiff VJP of this gather is a scatter-add of T*K rows into
+    (N, 9) — TPU scatters serialize (197 ms at bench scale,
+    tools/probe_gather_bwd.py). Instead the backward re-expresses the
+    reduction with forward-computed index structure only:
+      1. arrange the cotangent by SORTED position: position s lives in tile
+         sorted_tile[s] at slot s - starts[tile] (one dense gather);
+      2. group by owning Gaussian via ``by_gauss_2d`` (N, max_tiles), the
+         second sort's permutation from _bin_gaussians (one dense gather);
+      3. sum the max_tiles entries of each Gaussian (dense reduction).
+    All index args are int arrays (cotangent None)."""
+    ga = packed[gidx]                                     # (T, K, 9)
+    return jnp.where(ent_valid[..., None], ga, 0.0)
+
+
+def _gather_packed_fwd(packed, gidx, ent_valid, sorted_tile, starts,
+                       by_gauss_2d):
+    out = _gather_packed(packed, gidx, ent_valid, sorted_tile, starts,
+                         by_gauss_2d)
+    return out, (sorted_tile, starts, by_gauss_2d, packed.shape[0])
+
+
+def _gather_packed_bwd(res, g):
+    sorted_tile, starts, by_gauss_2d, n = res
+    t_total = starts.shape[0] - 1
+    k = g.shape[1]
+    l = sorted_tile.shape[0]
+    s_pos = jnp.arange(l, dtype=jnp.int32)
+    t_of = jnp.minimum(sorted_tile, t_total - 1)
+    slot = s_pos - starts[t_of]
+    ok = (sorted_tile < t_total) & (slot < k)
+    lin = jnp.where(ok, t_of * k + slot, 0)
+    gflat = g.reshape(t_total * k, -1)[lin]               # (L, 9)
+    gflat = jnp.where(ok[:, None], gflat, 0.0)
+    d_packed = gflat[by_gauss_2d.reshape(-1)].reshape(
+        n, -1, g.shape[-1]).sum(axis=1)                   # (N, 9)
+    return d_packed, None, None, None, None, None
+
+
+_gather_packed.defvjp(_gather_packed_fwd, _gather_packed_bwd)
+
+
+def _gather_entries(proj: Projected, sorted_tile, sorted_idx, starts,
+                    by_gauss, max_per_tile: int):
     """Gather per-tile entry attributes.
 
     All 9 per-Gaussian attributes (mean2d, conic, color, opacity) are packed
     into ONE (N, 9) matrix and gathered once — measured 2.4x faster than
     four separate gathers on TPU (tools/probe_projbin_variants.py); the
-    unpacking slices fuse into the consumers.
+    unpacking slices fuse into the consumers. The gather rides
+    `_gather_packed` for its scatter-free custom backward.
 
     Returns (g_mean (T,K,2), g_conic (T,K,3), g_color (T,K,3),
     g_op (T,K) zeroed beyond each tile's count, counts (T,), overflow)."""
+    n = proj.means2d.shape[0]
     slot = jnp.arange(max_per_tile, dtype=jnp.int32)      # (K,)
     ent = starts[:-1, None] + slot[None, :]               # (T, K)
     ent_valid = ent < starts[1:, None]
@@ -199,11 +255,12 @@ def _gather_entries(proj: Projected, sorted_idx, starts, max_per_tile: int):
     packed = jnp.concatenate(
         [proj.means2d, proj.conics, proj.colors, proj.opacities[:, None]],
         axis=1)                                           # (N, 9)
-    ga = packed[gidx]                                     # (T, K, 9)
+    ga = _gather_packed(packed, gidx, ent_valid, sorted_tile, starts,
+                        by_gauss.reshape(n, -1))          # (T, K, 9)
     g_mean = ga[..., 0:2]
     g_conic = ga[..., 2:5]
     g_color = ga[..., 5:8]
-    g_op = jnp.where(ent_valid, ga[..., 8], 0.0)          # (T, K)
+    g_op = ga[..., 8]                                     # (T, K)
     raw_counts = (starts[1:] - starts[:-1]).astype(jnp.int32)
     counts = jnp.minimum(raw_counts, max_per_tile)
     overflow = jnp.sum(jnp.maximum(raw_counts - max_per_tile, 0))
@@ -317,14 +374,30 @@ def _tri_mats(ch: int):
     return ((c <= r).astype(jnp.float32), (c >= r).astype(jnp.float32))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def _composite_xla(g_mean, g_conic, g_color, g_op, pix_x, pix_y, chunk: int):
+# transmittance saturation threshold for the forward early exit: once EVERY
+# pixel's transmittance is below this, remaining (farther) entries cannot
+# change the image by more than TEXIT — the loop stops. gsplat's CUDA kernel
+# exits per pixel at 1e-4; 1e-6 here keeps the XLA path within the 1e-5
+# parity tolerance of the autodiff oracle.
+_TEXIT = 1e-6
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _composite_xla(g_mean, g_conic, g_color, g_op, pix_x, pix_y, n_act,
+                   chunk: int):
     """Front-to-back compositing with a hand-derived backward.
 
-    Forward is a chunked scan over depth-ordered entries (carry = RGB
-    accumulator + per-pixel transmittance). Backward is the gsplat-style
-    reverse sweep (reference call-site starster/gs.py:76-87: the CUDA
-    rasterize_to_pixels backward): walk chunks in REVERSE, reconstructing
+    Forward is a chunked `while_loop` over depth-ordered entries (carry =
+    RGB accumulator + per-pixel transmittance) with TWO data-dependent
+    exits the static `scan` could not express:
+      - dynamic trip count `n_act` = ceil(max tile occupancy / chunk), so
+        compute scales with the scene's real density, not the static
+        `max_per_tile` capacity (slots past each tile's count carry
+        opacity 0 — skipping them is exact);
+      - transmittance saturation (see _TEXIT) — the gsplat early-exit.
+    Backward is the gsplat-style reverse sweep (reference call-site
+    starster/gs.py:76-87: the CUDA rasterize_to_pixels backward): walk the
+    SAME chunks in REVERSE from where the forward stopped, reconstructing
     each entry's incoming transmittance T_j = T_after / suffix_prod(1-a)
     and the suffix color accumulator S_j, yielding exact per-entry
     gradients — no rematerialized autodiff, cost ~1.5x forward.
@@ -333,21 +406,26 @@ def _composite_xla(g_mean, g_conic, g_color, g_op, pix_x, pix_y, chunk: int):
     triangular matmul -> exp (see _tri_mats).
 
     g_mean (T,K,2), g_conic (T,K,3), g_color (T,K,3), g_op (T,K) zeroed
-    beyond each tile's count; pix_x/pix_y (T,P). Returns
-    (rgb (T,P,3), trans (T,P))."""
-    return _composite_xla_fwd_scan(g_mean, g_conic, g_color, g_op,
-                                   pix_x, pix_y, chunk)
+    beyond each tile's count; pix_x/pix_y (T,P); n_act float32 scalar
+    (non-differentiable chunk count). Returns (rgb (T,P,3), trans (T,P))."""
+    rgb, trans, _ = _composite_xla_fwd_loop(g_mean, g_conic, g_color, g_op,
+                                            pix_x, pix_y, n_act, chunk)
+    return rgb, trans
 
 
-def _composite_xla_fwd_scan(g_mean, g_conic, g_color, g_op, pix_x, pix_y,
-                            chunk: int):
+def _composite_xla_fwd_loop(g_mean, g_conic, g_color, g_op, pix_x, pix_y,
+                            n_act, chunk: int):
     t_total, k = g_op.shape
     p = pix_x.shape[1]
-    n_chunks = k // chunk
     linc, _ = _tri_mats(chunk)
+    n_act_i = n_act.astype(jnp.int32)
 
-    def body(carry, s):
-        acc_rgb, acc_t = carry                            # (T,P,3), (T,P)
+    def cond(carry):
+        s, _, acc_t, t_max = carry
+        return (s < n_act_i) & (t_max > _TEXIT)
+
+    def body(carry):
+        s, acc_rgb, acc_t, _ = carry                      # (T,P,3), (T,P)
         sl = jax.lax.dynamic_slice_in_dim
         cm = sl(g_mean, s * chunk, chunk, 1)
         cc = sl(g_conic, s * chunk, chunk, 1)
@@ -360,32 +438,36 @@ def _composite_xla_fwd_scan(g_mean, g_conic, g_color, g_op, pix_x, pix_y,
         wgt = alpha * cum_excl * acc_t[:, None, :]        # (T, c, P)
         acc_rgb = acc_rgb + jnp.einsum("tcp,tcd->tpd", wgt, ccol)
         acc_t = acc_t * jnp.exp(pref[:, -1, :])
-        return (acc_rgb, acc_t), None
+        return (s + 1, acc_rgb, acc_t, jnp.max(acc_t))
 
-    init = (jnp.zeros((t_total, p, 3), jnp.float32),
-            jnp.ones((t_total, p), jnp.float32))
-    (rgb, trans), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
-    return rgb, trans
+    init = (jnp.zeros((), jnp.int32),
+            jnp.zeros((t_total, p, 3), jnp.float32),
+            jnp.ones((t_total, p), jnp.float32),
+            jnp.ones((), jnp.float32))
+    s_done, rgb, trans, _ = jax.lax.while_loop(cond, body, init)
+    return rgb, trans, s_done
 
 
-def _composite_xla_fwd(g_mean, g_conic, g_color, g_op, pix_x, pix_y,
+def _composite_xla_fwd(g_mean, g_conic, g_color, g_op, pix_x, pix_y, n_act,
                        chunk: int):
-    rgb, trans = _composite_xla_fwd_scan(g_mean, g_conic, g_color, g_op,
-                                         pix_x, pix_y, chunk)
+    rgb, trans, s_done = _composite_xla_fwd_loop(
+        g_mean, g_conic, g_color, g_op, pix_x, pix_y, n_act, chunk)
     return (rgb, trans), (g_mean, g_conic, g_color, g_op, pix_x, pix_y,
-                          trans)
+                          trans, s_done)
 
 
 def _composite_xla_bwd(chunk: int, res, cts):
-    g_mean, g_conic, g_color, g_op, pix_x, pix_y, t_fin = res
+    g_mean, g_conic, g_color, g_op, pix_x, pix_y, t_fin, s_done = res
     g_rgb, g_trans = cts                                  # (T,P,3), (T,P)
     t_total, k = g_op.shape
-    n_chunks = k // chunk
     _, usuf = _tri_mats(chunk)
     gt_term = (g_trans * t_fin)[:, None, :]               # (T, 1, P)
 
-    def body(carry, s):
-        t_after, s_carry = carry                          # (T,P), (T,P)
+    def cond(carry):
+        return carry[0] >= 0
+
+    def body(carry):
+        s, t_after, s_carry, dm, dc, dcol, dop = carry    # t/s: (T,P)
         sl = jax.lax.dynamic_slice_in_dim
         cm = sl(g_mean, s * chunk, chunk, 1)
         cc = sl(g_conic, s * chunk, chunk, 1)
@@ -420,48 +502,61 @@ def _composite_xla_bwd(chunk: int, res, cts):
         d_cc = jnp.sum(dsigma * (0.5 * dy * dy), axis=2)
         d_op = jnp.sum(draw * expsig, axis=2)
         d_col = jnp.einsum("tcp,tpd->tcd", w_j, g_rgb)    # (T, c, 3)
-        carry = (t_after / jnp.maximum(rev_cum[:, 0, :], 1e-30),
-                 s_carry + suf_incl[:, 0, :])
-        grads = (jnp.stack([d_mx, d_my], -1),
-                 jnp.stack([d_ca, d_cb, d_cc], -1),
-                 d_col, d_op)
-        return carry, grads
+        upd = jax.lax.dynamic_update_slice_in_dim
+        dm = upd(dm, jnp.stack([d_mx, d_my], -1), s * chunk, 1)
+        dc = upd(dc, jnp.stack([d_ca, d_cb, d_cc], -1), s * chunk, 1)
+        dcol = upd(dcol, d_col, s * chunk, 1)
+        dop = upd(dop, d_op, s * chunk, 1)
+        return (s - 1,
+                t_after / jnp.maximum(rev_cum[:, 0, :], 1e-30),
+                s_carry + suf_incl[:, 0, :],
+                dm, dc, dcol, dop)
 
-    init = (t_fin, jnp.zeros_like(t_fin))
-    s_rev = jnp.arange(n_chunks - 1, -1, -1)
-    _, (dm, dc, dcol, dop) = jax.lax.scan(body, init, s_rev)
-    # scan stacked chunks in reverse order -> flip, then (s,T,c,..)->(T,K,..)
-    def unstack(x):
-        x = x[::-1]                                       # chunk order
-        x = jnp.moveaxis(x, 0, 1)                         # (T, s, c, ...)
-        return x.reshape((t_total, k) + x.shape[3:])
-
-    return (unstack(dm), unstack(dc), unstack(dcol), unstack(dop),
-            jnp.zeros_like(pix_x), jnp.zeros_like(pix_y))
+    init = (s_done - 1, t_fin, jnp.zeros_like(t_fin),
+            jnp.zeros_like(g_mean), jnp.zeros_like(g_conic),
+            jnp.zeros_like(g_color), jnp.zeros_like(g_op))
+    out = jax.lax.while_loop(cond, body, init)
+    _, _, _, dm, dc, dcol, dop = out
+    return (dm, dc, dcol, dop, jnp.zeros_like(pix_x), jnp.zeros_like(pix_y),
+            jnp.zeros((), jnp.float32))
 
 
 _composite_xla.defvjp(_composite_xla_fwd, _composite_xla_bwd)
 
 
-def _composite_tiles_xla(g_mean, g_conic, g_color, g_op, h: int, w: int,
-                         tile: int, tw: int, th: int, chunk: int):
-    """Analytic-VJP compositing -> (rgb (H,W,3), alpha (H,W))."""
+def _composite_tiles_xla(g_mean, g_conic, g_color, g_op, counts, h: int,
+                         w: int, tile: int, tw: int, th: int, chunk: int):
+    """Analytic-VJP compositing over ALL cameras at once.
+
+    g_* are (C, T, K, ...): cameras are folded into the tile axis so one
+    while_loop (with one dynamic trip count and one saturation exit)
+    serves every camera — bigger batched matmuls for the MXU, no vmapped
+    loop skeleton per camera. Returns rgb (C,H,W,3), alpha (C,H,W).
+    """
+    c, t_total, k = g_op.shape
     pix_x, pix_y = _tile_pix(tw, th, tile)
-    rgb_t, trans_t = _composite_xla(g_mean, g_conic, g_color, g_op,
-                                    pix_x, pix_y, chunk)
-    rgb = rgb_t.reshape(th, tw, tile, tile, 3).transpose(0, 2, 1, 3, 4)
-    rgb = rgb.reshape(th * tile, tw * tile, 3)[:h, :w]
-    alpha = 1.0 - trans_t.reshape(th, tw, tile, tile).transpose(0, 2, 1, 3)
-    alpha = alpha.reshape(th * tile, tw * tile)[:h, :w]
+    p = pix_x.shape[1]
+    flat = lambda x: x.reshape((c * t_total,) + x.shape[2:])
+    n_act = jnp.ceil(jnp.max(counts).astype(jnp.float32) / chunk)
+    rgb_t, trans_t = _composite_xla(
+        flat(g_mean), flat(g_conic), flat(g_color), flat(g_op),
+        jnp.tile(pix_x, (c, 1)), jnp.tile(pix_y, (c, 1)), n_act, chunk)
+    rgb_t = rgb_t.reshape(c, th, tw, tile, tile, 3)
+    rgb = rgb_t.transpose(0, 1, 3, 2, 4, 5).reshape(
+        c, th * tile, tw * tile, 3)[:, :h, :w]
+    trans_t = trans_t.reshape(c, th, tw, tile, tile)
+    alpha = 1.0 - trans_t.transpose(0, 1, 3, 2, 4).reshape(
+        c, th * tile, tw * tile)[:, :h, :w]
     return rgb, alpha
 
 
 def _default_impl() -> str:
-    """Pallas kernels are the default on TPU (proven vs the XLA path on
-    hardware); STARST3R_PALLAS=0 opts out, =1 forces them anywhere."""
+    """'xla' (the analytic-VJP while_loop path) is the default everywhere:
+    it beats the experimental Pallas kernels on TPU at bench scale and runs
+    unmodified on CPU. STARST3R_PALLAS=1 forces the Pallas kernels,
+    STARST3R_PALLAS=0 forces the autodiff oracle ('ref')."""
     import os
 
-    import jax as _jax
     env = os.environ.get("STARST3R_PALLAS", "")
     if env == "1":
         return "pallas"
@@ -503,9 +598,10 @@ def rasterize(means, quats, scales, opacities, sh, viewmats, Ks,
     def project_bin(w2c, K):
         proj = project_gaussians(means, quats, scales, opacities, sh, w2c, K,
                                  sh_degree)
-        _, sorted_idx, starts, n_clip = _bin_gaussians(
+        sorted_tile, sorted_idx, starts, by_gauss, n_clip = _bin_gaussians(
             proj, tw, th, tile_size, max_tiles_per_gaussian)
-        ents = _gather_entries(proj, sorted_idx, starts, max_per_tile)
+        ents = _gather_entries(proj, sorted_tile, sorted_idx, starts,
+                               by_gauss, max_per_tile)
         return ents + (n_clip, proj.means2d, proj.radii, proj.depths)
 
     (g_mean, g_conic, g_color, g_op, counts, overflow, n_clip, means2d,
@@ -527,10 +623,9 @@ def rasterize(means, quats, scales, opacities, sh, viewmats, Ks,
         alpha = a_t.transpose(0, 1, 3, 2, 4).reshape(
             c, th * tile_size, tw * tile_size)[:, :height, :width]
     elif impl == "xla":
-        rgb, alpha = jax.vmap(
-            lambda gm, gc, gcl, go: _composite_tiles_xla(
-                gm, gc, gcl, go, height, width, tile_size, tw, th,
-                chunk))(g_mean, g_conic, g_color, g_op)
+        rgb, alpha = _composite_tiles_xla(
+            g_mean, g_conic, g_color, g_op, counts, height, width,
+            tile_size, tw, th, chunk)
     else:
         rgb, alpha = jax.vmap(
             lambda gm, gc, gcl, go: _composite_tiles(
