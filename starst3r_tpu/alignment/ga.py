@@ -81,6 +81,10 @@ class GAState(NamedTuple):
     freeze: jnp.ndarray         # (C,) bool — per-image freeze
     min_focals: jnp.ndarray     # (C,)
     max_focals: jnp.ndarray     # (C,)
+    # lora_depth (reference reconstruct.py:251-252): when not None,
+    # params.core_depth holds (C, k) spectral coefficients and the dense
+    # core depth is basis @ coeffs inside the loss (alignment/spectral.py)
+    depth_basis: Optional[jnp.ndarray] = None   # (C, S, k) or None
 
 
 def init_params(data: CondensedData) -> GAParams:
@@ -96,7 +100,8 @@ def init_params(data: CondensedData) -> GAParams:
 
 
 def make_state(data: CondensedData, mst: Tuple[int, Any],
-               cfg: GAConfig, freeze: Optional[np.ndarray] = None) -> GAState:
+               cfg: GAConfig, freeze: Optional[np.ndarray] = None,
+               depth_basis: Optional[np.ndarray] = None) -> GAState:
     c = data.pps.shape[0]
     root, edges = mst
     parents = np.array([e[0] for e in edges], np.int32).reshape(-1)
@@ -126,6 +131,8 @@ def make_state(data: CondensedData, mst: Tuple[int, Any],
         freeze=jnp.asarray(freeze),
         min_focals=jnp.asarray(cfg.min_focal_factor * diags, jnp.float32),
         max_focals=jnp.asarray(cfg.max_focal_factor * diags, jnp.float32),
+        depth_basis=(None if depth_basis is None
+                     else jnp.asarray(depth_basis)),
     )
 
 
@@ -202,11 +209,16 @@ def make_K_cam_depth(params: GAParams, state: GAState,
     cam2w = cam2w_chain.at[:, :3, 3].set(new_trans)
 
     # core-grid metric depth (depth_mode='add', reconstruct.py:247-259)
+    core = params.core_depth                                # (C, S) or (C, k)
+    if state.depth_basis is not None:
+        # lora_depth expansion (reconstruct.py:251-252): dense core depth
+        # from spectral coefficients — one batched MXU matmul
+        core = jnp.einsum("csk,ck->cs", state.depth_basis, core)
     if depth_mode == "add":
-        depth = z_cameras[:, None] + (params.core_depth - 1.0) * (
+        depth = z_cameras[:, None] + (core - 1.0) * (
             state.median_depths * sizes)[:, None]
     elif depth_mode == "mul":
-        depth = z_cameras[:, None] * params.core_depth
+        depth = z_cameras[:, None] * core
     else:
         raise ValueError(depth_mode)
     depth = global_scaling * depth
@@ -381,15 +393,25 @@ def run_global_alignment(
     cfg: GAConfig,
     prev_params: Optional[GAParams] = None,
     freeze: Optional[np.ndarray] = None,
+    depth_basis: Optional[np.ndarray] = None,
+    depth_coeffs: Optional[np.ndarray] = None,
 ) -> Tuple[GAResult, GAParams]:
     """Full two-phase GA with optional SLAM warm start.
 
     ``prev_params`` (from a previous call, possibly with fewer cameras)
     overwrites the first N cameras' parameters — the reference's incremental
     mechanism (reconstruct.py:408-415).
+
+    ``depth_basis``/``depth_coeffs`` ((C,S,k), (C,k)) from
+    `spectral.spectral_projection_of_depthmaps` switch on the lora_depth
+    re-parameterization (reference reconstruct.py:251-252, 270-273).
     """
-    state = make_state(data, mst, cfg, freeze)
+    state = make_state(data, mst, cfg, freeze, depth_basis=depth_basis)
     params = init_params(data)
+    if depth_basis is not None:
+        if depth_coeffs is None:
+            raise ValueError("depth_basis requires depth_coeffs")
+        params = params._replace(core_depth=jnp.asarray(depth_coeffs))
 
     if prev_params is not None:
         from ..utils.checkpoint import tree_prefix_overwrite

@@ -72,6 +72,11 @@ def _build_parser() -> argparse.ArgumentParser:
     rec.add_argument("--shared-intrinsics", action="store_true",
                      help="optimize one focal + principal point shared by "
                      "all cameras (reference reconstruct.py:67)")
+    rec.add_argument("--lora-depth", action="store_true",
+                     help="optimize per-image depth as k spectral "
+                     "coefficients over an image-appearance Laplacian "
+                     "basis (reference reconstruct.py:123,270-273)")
+    rec.add_argument("--lora-k", type=int, default=96)
 
     tgs = sub.add_parser("train-gs", help="continue 3DGS from a checkpoint")
     tgs.add_argument("--scene", required=True, help="scene.ckpt path")
@@ -148,7 +153,9 @@ def _cmd_reconstruct(args) -> int:
         refine_lm=bool(args.refine_lm),
         lm_iters=args.lm_iters,
         lm_mode=args.refine_mode,
-        shared_intrinsics=bool(args.shared_intrinsics))
+        shared_intrinsics=bool(args.shared_intrinsics),
+        lora_depth=bool(args.lora_depth),
+        lora_k=args.lora_k)
     cfg = dataclasses.replace(cfg, ga=ga)
 
     if args.model:

@@ -159,6 +159,15 @@ class GAConfig:
     # focal clamping (reconstruct.py:204-206)
     min_focal_factor: float = 0.25
     max_focal_factor: float = 10.0
+    # spectral low-rank depth re-parameterization (reference
+    # reconstruct.py:123,251-252,270-273 `lora_depth`; off by default there
+    # too). k/gamma/min_norm match the reference's commented defaults
+    # dict(k=96, gamma=15, min_norm=.5); alignment/spectral.py builds the
+    # basis, the GA then optimizes k coefficients per image.
+    lora_depth: bool = False
+    lora_k: int = 96
+    lora_gamma: float = 15.0
+    lora_min_norm: float = 0.5
 
 
 @dataclass(frozen=True)

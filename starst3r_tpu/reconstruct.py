@@ -219,9 +219,27 @@ def reconstruct_scene(
         data = condense(views, matches, preds_21, (h, w),
                         cfg.matching.subsample, cfg.ga.matching_conf_thr,
                         max_corres_per_pair=cfg.matching.max_corres_per_pair)
+    depth_basis = depth_coeffs = None
+    if cfg.ga.lora_depth:
+        # spectral low-rank depth (reference reconstruct.py:270-273): basis
+        # from image appearance on the core grid, initial coefficients by
+        # least squares against the canonical core depth
+        from .alignment.spectral import spectral_projection_of_depthmaps
+        from .ops.matching import subsample_grid_indices
+        with timer("lora_basis"):
+            grid, hs, ws = subsample_grid_indices(h, w,
+                                                  cfg.matching.subsample)
+            grid = np.asarray(grid)
+            core_colors = np.stack([
+                im.reshape(3, h * w).T[grid] for im in imgs])   # (C, S, 3)
+            depth_coeffs, depth_basis = spectral_projection_of_depthmaps(
+                core_colors, np.asarray(data.core_depth), (hs, ws),
+                k=cfg.ga.lora_k, gamma=cfg.ga.lora_gamma,
+                min_norm=cfg.ga.lora_min_norm)
     with timer("ga"), trace_if("ga"):
         result, params = run_global_alignment(
-            data, mst, cfg.ga, prev_params=optim_params, freeze=freeze)
+            data, mst, cfg.ga, prev_params=optim_params, freeze=freeze,
+            depth_basis=depth_basis, depth_coeffs=depth_coeffs)
 
     cam2w_out = np.asarray(result.cam2w)
     K_out = np.asarray(result.K)

@@ -176,3 +176,18 @@ def test_crash_resume_from_checkpoint(tiny_model, fast_cfg, rng, tmp_path):
     assert resumed.c2w.shape == (3, 4, 4)
     assert np.all(np.isfinite(resumed.c2w))
     assert resumed.optim_params.quats.shape[0] == 3
+
+
+def test_reconstruct_with_lora_depth(tiny_model, fast_cfg, rng):
+    """--lora-depth wiring: the pipeline builds the spectral basis from the
+    input images, the GA optimizes coefficients, and the reconstruction
+    still produces valid dense geometry."""
+    cfg = dataclasses.replace(
+        fast_cfg, ga=dataclasses.replace(fast_cfg.ga, lora_depth=True,
+                                         lora_k=16, opt_depth=True))
+    imgs = _images(3, rng)
+    rec, params = st.reconstruct_scene(tiny_model, imgs, config=cfg)
+    assert params.core_depth.shape == (3, 16)     # coefficients, not dense
+    assert np.all(np.isfinite(rec.cam2w))
+    assert np.all(np.isfinite(rec.core_depth))   # expanded dense core depth
+    assert rec.core_depth.shape[0] == 3 and rec.core_depth.shape[1] > 16
