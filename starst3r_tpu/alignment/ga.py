@@ -212,8 +212,11 @@ def make_K_cam_depth(params: GAParams, state: GAState,
     core = params.core_depth                                # (C, S) or (C, k)
     if state.depth_basis is not None:
         # lora_depth expansion (reconstruct.py:251-252): dense core depth
-        # from spectral coefficients — one batched MXU matmul
-        core = jnp.einsum("csk,ck->cs", state.depth_basis, core)
+        # from spectral coefficients — one batched MXU matmul. Full fp32:
+        # a signed k~96-term reduction feeding the loss AND the returned
+        # depth loses ~3 digits at default (bf16) matmul precision.
+        core = jnp.einsum("csk,ck->cs", state.depth_basis, core,
+                          precision=jax.lax.Precision.HIGHEST)
     if depth_mode == "add":
         depth = z_cameras[:, None] + (core - 1.0) * (
             state.median_depths * sizes)[:, None]
@@ -415,6 +418,20 @@ def run_global_alignment(
 
     if prev_params is not None:
         from ..utils.checkpoint import tree_prefix_overwrite
+        # warm-starting across depth parameterizations is unsound: dense
+        # (C, S) core depth and (C, k) lora coefficients must not be mixed
+        # (the common-slice merge would silently combine them), and lora
+        # coefficients are only valid against the basis they were fit to
+        prev_cd = jnp.asarray(prev_params.core_depth)
+        new_cd = jnp.asarray(params.core_depth)
+        if prev_cd.shape[1:] != new_cd.shape[1:]:
+            raise ValueError(
+                "prev_params.core_depth trailing shape "
+                f"{prev_cd.shape[1:]} != current {new_cd.shape[1:]}: the "
+                "previous run used a different depth parameterization "
+                "(lora_depth / lora_k changed between add_images calls). "
+                "Re-run without warm start or keep the GA depth config "
+                "fixed across calls.")
         params = GAParams(*tree_prefix_overwrite(tuple(params),
                                                  tuple(prev_params)))
 

@@ -71,15 +71,35 @@ def lowrank_basis(colors: np.ndarray, grid_hw: Tuple[int, int], k: int = 96,
         basis = evecs[:, :k]
     else:
         # shift-invert around 0: the k smallest eigenpairs of the PSD
-        # Laplacian without forming the dense matrix (512px -> S=4096)
-        evals, basis = spla.eigsh(lap.tocsc(), k=k, sigma=-1e-4, which="LM")
+        # Laplacian without forming the dense matrix (512px -> S=4096).
+        # Deterministic: seeded ARPACK start vector (the default is
+        # np.random-global), plus the sign convention below — warm-started
+        # GA coefficients stay valid across re-runs.
+        v0 = np.random.default_rng(0).standard_normal(s)
+        evals, basis = spla.eigsh(lap.tocsc(), k=k, sigma=-1e-4, which="LM",
+                                  v0=v0)
         order = np.argsort(evals)
         basis = basis[:, order]
 
+    # sign convention (eigenvector signs are arbitrary per solver/BLAS):
+    # make each column's largest-magnitude entry positive
+    jmax = np.argmax(np.abs(basis), axis=0)
+    signs = np.sign(basis[jmax, np.arange(basis.shape[1])])
+    signs[signs == 0] = 1.0
+    basis = basis * signs
+
+    # min_norm guard, iterated to a FIXED POINT: scaling rows up raises the
+    # mean, so a single pass can leave rows below min_norm * new_mean.
+    # Converges for min_norm < 1 (the mean is bounded by the max row norm).
     rn = np.linalg.norm(basis, axis=1)
-    target = min_norm * rn.mean()
-    scale = np.maximum(1.0, target / np.maximum(rn, 1e-12))
-    return (basis * scale[:, None]).astype(np.float32)
+    for _ in range(100):
+        target = min_norm * rn.mean()
+        if rn.min() >= target * (1.0 - 1e-12):
+            break
+        scale = np.maximum(1.0, target / np.maximum(rn, 1e-12))
+        basis = basis * scale[:, None]
+        rn = rn * scale
+    return basis.astype(np.float32)
 
 
 def spectral_projection_of_depthmaps(

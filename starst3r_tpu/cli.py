@@ -75,8 +75,12 @@ def _build_parser() -> argparse.ArgumentParser:
     rec.add_argument("--lora-depth", action="store_true",
                      help="optimize per-image depth as k spectral "
                      "coefficients over an image-appearance Laplacian "
-                     "basis (reference reconstruct.py:123,270-273)")
+                     "basis (reference reconstruct.py:123,270-273); "
+                     "implies --opt-depth")
     rec.add_argument("--lora-k", type=int, default=96)
+    rec.add_argument("--opt-depth", action="store_true",
+                     help="make per-image depth trainable in the fine GA "
+                     "phase (reference opt_depth, reconstruct.py:66)")
 
     tgs = sub.add_parser("train-gs", help="continue 3DGS from a checkpoint")
     tgs.add_argument("--scene", required=True, help="scene.ckpt path")
@@ -155,7 +159,10 @@ def _cmd_reconstruct(args) -> int:
         lm_mode=args.refine_mode,
         shared_intrinsics=bool(args.shared_intrinsics),
         lora_depth=bool(args.lora_depth),
-        lora_k=args.lora_k)
+        lora_k=args.lora_k,
+        # lora_depth without opt_depth would freeze the coefficients and
+        # merely replace the init depth with a lossy rank-k approximation
+        opt_depth=bool(args.opt_depth or args.lora_depth))
     cfg = dataclasses.replace(cfg, ga=ga)
 
     if args.model:

@@ -134,6 +134,8 @@ def _dec_block(sd, prefix, i):
         "norm1": _ln(sd, f"{p}.norm1"),
         "norm2": _ln(sd, f"{p}.norm2"),
         "norm3": _ln(sd, f"{p}.norm3"),
+        # croco norm_mem=True: LayerNorm on the cross-attention memory
+        "norm_y": _ln(sd, f"{p}.norm_y"),
         "self_attn": {"qkv": _dense(sd, f"{p}.attn.qkv"),
                       "proj": _dense(sd, f"{p}.attn.proj")},
         "mlp": {"fc1": _dense(sd, f"{p}.mlp.fc1"),
@@ -201,14 +203,15 @@ def convert_state_dict(sd: Dict[str, Any], enc_depth: int, dec_depth: int,
         enc[f"block{i}"] = _enc_block(rec, i)
     params["encoder"] = enc
 
-    # decoders: the reference shares one decoder_embed for both streams
-    for view, prefix in (("1", "dec_blocks"), ("2", "dec_blocks2")):
-        dec = {"embed": _dense(rec, "decoder_embed"),
-               "embed_other": _dense(rec, "decoder_embed"),
-               "norm": _ln(rec, "dec_norm")}
-        for i in range(dec_depth):
-            dec[f"block{i}"] = _dec_block(rec, prefix, i)
-        params[f"decoder{view}"] = dec
+    # interleaved decoder: ONE shared decoder_embed + dec_norm, two block
+    # stacks (dec_blocks -> block{i} for view 1, dec_blocks2 -> block2_{i}
+    # for view 2) run in lockstep (models/vit.py InterleavedDecoder)
+    dec = {"embed": _dense(rec, "decoder_embed"),
+           "norm": _ln(rec, "dec_norm")}
+    for i in range(dec_depth):
+        dec[f"block{i}"] = _dec_block(rec, "dec_blocks", i)
+        dec[f"block2_{i}"] = _dec_block(rec, "dec_blocks2", i)
+    params["decoder"] = dec
 
     # heads
     for view in ("1", "2"):

@@ -26,9 +26,10 @@ tensor:
     units (conv1/conv2 with ReLU pre-activations) and a 1x1 `out_conv`;
   - `head0/head2/head4` output convs (named by their torch Sequential
     indices 0/2/4).
-Known fidelity note: torch upsamples with align_corners=True; jax.image
-.resize uses half-pixel centers — a sub-pixel sampling difference in the
-fusion upsample, not a weight-mapping difference.
+Fidelity note: torch upsamples with align_corners=True; we reproduce that
+exactly via static interpolation matrices applied as two small matmuls
+(`_resize_align_corners`) — MXU-friendly and bit-faithful to the
+checkpoint's sampling grid (held by tests/test_torch_parity.py).
 
 Pointmap parameterization ("exp" mode): raw u -> u / |u| * expm1(|u|), which
 maps R^3 onto all of R^3 with better-conditioned gradients near zero.
@@ -43,6 +44,35 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ("DPTHead", "DescriptorHead", "postprocess_pointmap")
+
+
+def _interp_matrix_ac(n_in: int, n_out: int) -> jnp.ndarray:
+    """(n_out, n_in) linear-interpolation matrix with torch
+    align_corners=True sampling: src(i) = i * (n_in-1) / (n_out-1)."""
+    import numpy as np
+    if n_in == 1 or n_out == 1:
+        return jnp.ones((n_out, n_in), jnp.float32) / n_in
+    src = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
+    lo = np.clip(np.floor(src).astype(np.int64), 0, n_in - 2)
+    w = (src - lo).astype(np.float32)
+    mat = np.zeros((n_out, n_in), np.float32)
+    mat[np.arange(n_out), lo] = 1.0 - w
+    mat[np.arange(n_out), lo + 1] += w
+    return jnp.asarray(mat)
+
+
+def _resize_align_corners(x: jnp.ndarray, out_h: int, out_w: int):
+    """Bilinear resize of (B, H, W, C) with align_corners=True semantics,
+    as two dense matmuls over the spatial dims (static shapes -> the
+    matrices are compile-time constants; XLA maps them onto the MXU)."""
+    b, h, w, c = x.shape
+    if (h, w) == (out_h, out_w):
+        return x
+    ah = _interp_matrix_ac(h, out_h)          # (out_h, h)
+    aw = _interp_matrix_ac(w, out_w)          # (out_w, w)
+    dt = x.dtype
+    x = jnp.einsum("oh,bhwc->bowc", ah.astype(dt), x)
+    return jnp.einsum("pw,bowc->bopc", aw.astype(dt), x)
 
 
 def postprocess_pointmap(raw: jnp.ndarray, mode: str = "exp"):
@@ -109,7 +139,8 @@ class _FusionBlock(nn.Module):
             x = x + _ResUnit(self.dim, self.dtype, name="res1")(skip)
         x = _ResUnit(self.dim, self.dtype, name="res2")(x)
         b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), "bilinear")
+        # torch F.interpolate(scale_factor=2, align_corners=True)
+        x = _resize_align_corners(x, h * 2, w * 2)
         return nn.Conv(self.dim, (1, 1), dtype=self.dtype,
                        name="out_conv")(x)
 
@@ -162,7 +193,7 @@ class DPTHead(nn.Module):
         # x is now at 8x patch grid = img/2 resolution
         x = nn.Conv(fd // 2, (3, 3), padding="SAME", dtype=self.dtype,
                     name="head0")(x)
-        x = jax.image.resize(x, (b, img_h, img_w, fd // 2), "bilinear")
+        x = _resize_align_corners(x, img_h, img_w)
         x = nn.Conv(self.last_dim, (3, 3), padding="SAME", dtype=self.dtype,
                     name="head2")(x)
         x = nn.relu(x)
@@ -192,7 +223,7 @@ class DescriptorHead(nn.Module):
         out_ch = self.desc_dim + 1
         hidden = int(self.hidden_factor * idim)
         x = nn.Dense(hidden, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)  # torch nn.GELU is erf-exact
         x = nn.Dense(out_ch * p * p, dtype=jnp.float32, name="fc2")(x)
         # pixel shuffle: (B, T, p*p*C) -> (B, H, W, C); channel-minor
         # (i, j, c) layout — the converter permutes torch's (c, i, j)

@@ -29,7 +29,7 @@ import numpy as np
 from ..config import ModelConfig, model_preset
 from ..utils.checkpoint import restore_pytree, save_pytree
 from .heads import DescriptorHead, DPTHead, postprocess_pointmap
-from .vit import Decoder, Encoder, patch_positions
+from .vit import Encoder, InterleavedDecoder, patch_positions
 
 __all__ = ("TwoViewNet", "Mast3rModel", "PairPrediction")
 
@@ -74,12 +74,15 @@ class TwoViewNet(nn.Module):
         f1, f2 = feats[:b], feats[b:]
 
         h1, h2 = _dpt_hooks(cfg.dec_depth)
+        # the CroCo interleaved two-stream decoder (checkpoint topology:
+        # shared decoder_embed/dec_norm, dec_blocks + dec_blocks2 lockstep)
+        dec = InterleavedDecoder(cfg.dec_depth, cfg.dec_dim, cfg.dec_heads,
+                                 cfg.enc_dim, cfg.mlp_ratio, cfg.rope_base,
+                                 dt, name="decoder")
+        states1, states2 = dec(f1, f2, pos, pos)
         outs = {}
-        for view, (fs, fo) in (("1", (f1, f2)), ("2", (f2, f1))):
-            dec = Decoder(cfg.dec_depth, cfg.dec_dim, cfg.dec_heads,
-                          cfg.enc_dim, cfg.mlp_ratio, cfg.rope_base, dt,
-                          name=f"decoder{view}")
-            states = dec(fs, fo, pos, pos)
+        for view, (fs, states) in (("1", (f1, states1)),
+                                   ("2", (f2, states2))):
             # DPT hooks: raw ENCODER tokens + two mid-decoder states +
             # final normalized decoder tokens (checkpoint hook layout)
             hook_states = [fs, states[h1], states[h2], states[-1]]

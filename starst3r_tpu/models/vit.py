@@ -2,19 +2,32 @@
 
 TPU-native rebuild of the CroCo backbone consumed by the reference
 (call-sites: reference starster/__init__.py:3, main.py:46; SURVEY §2b row
-"CroCo ViT backbone"): ViT encoder over patch-16 tokens, decoder blocks with
-self-attention + cross-attention to the *other* view's encoder tokens, 2D
-rotary position embedding on every self/cross attention's q/k.
+"CroCo ViT backbone"): ViT encoder over patch-16 tokens, then the CroCo
+*interleaved* two-stream decoder — two stacks of decoder blocks
+(`dec_blocks` / `dec_blocks2`, one per view role) run in lockstep, block i
+of each stream cross-attending to the OTHER stream's block i-1 output.
+2D rotary position embedding on every self/cross attention's q/k.
+
+Checkpoint faithfulness (tests/test_torch_parity.py holds this to float
+tolerance against a torch reimplementation of the croco/dust3r trunk):
+  - one shared `decoder_embed` projects both encoder streams;
+  - one shared `dec_norm` normalizes both final decoder states;
+  - every decoder block LayerNorms its cross-attention memory (`norm_y`,
+    croco norm_mem=True);
+  - LayerNorm eps 1e-5 (torch default), exact (erf) GELU.
 
 Design notes (TPU-first):
   - all matmuls batched over (2*pairs) images so the MXU sees large GEMMs;
   - activations in bfloat16 (param dtype float32) by default;
   - no dynamic shapes: token count fixed per resolution bucket;
-  - RoPE is pure jnp (ops/rope.py), fused by XLA into the attention matmuls.
+  - RoPE is pure jnp (ops/rope.py), fused by XLA into the attention matmuls;
+  - the two decoder streams at step i are independent given step i-1, so
+    XLA overlaps them freely.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
@@ -24,7 +37,10 @@ from ..ops.attention import sdpa
 from ..ops.rope import apply_rope_2d, rope_2d_freqs
 
 __all__ = ("PatchEmbed", "Mlp", "EncoderBlock", "DecoderBlock", "Encoder",
-           "Decoder", "patch_positions")
+           "InterleavedDecoder", "patch_positions")
+
+# torch nn.LayerNorm default eps (croco uses the default)
+_LN = functools.partial(nn.LayerNorm, epsilon=1e-5)
 
 
 def patch_positions(h_patches: int, w_patches: int) -> jnp.ndarray:
@@ -58,7 +74,7 @@ class Mlp(nn.Module):
     def __call__(self, x):
         hidden = int(self.dim * self.ratio)
         x = nn.Dense(hidden, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)  # torch nn.GELU is erf-exact
         x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
         return x
 
@@ -117,13 +133,17 @@ class EncoderBlock(nn.Module):
     @nn.compact
     def __call__(self, x, rope):
         x = x + Attention(self.dim, self.heads, self.dtype, name="attn")(
-            nn.LayerNorm(dtype=self.dtype, name="norm1")(x), rope)
+            _LN(dtype=self.dtype, name="norm1")(x), rope)
         x = x + Mlp(self.dim, self.mlp_ratio, self.dtype, name="mlp")(
-            nn.LayerNorm(dtype=self.dtype, name="norm2")(x))
+            _LN(dtype=self.dtype, name="norm2")(x))
         return x
 
 
 class DecoderBlock(nn.Module):
+    """croco DecoderBlock: pre-LN self-attention, cross-attention to the
+    other stream's tokens (memory LayerNormed by `norm_y`, norm_mem=True),
+    pre-LN MLP."""
+
     dim: int
     heads: int
     mlp_ratio: float = 4.0
@@ -131,14 +151,15 @@ class DecoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, y, rope_x, rope_y):
-        """x: this view's tokens; y: other view's (projected) tokens."""
+        """x: this stream's tokens; y: other stream's previous-layer tokens."""
         x = x + Attention(self.dim, self.heads, self.dtype, name="self_attn")(
-            nn.LayerNorm(dtype=self.dtype, name="norm1")(x), rope_x)
+            _LN(dtype=self.dtype, name="norm1")(x), rope_x)
+        y_ = _LN(dtype=self.dtype, name="norm_y")(y)
         x = x + CrossAttention(self.dim, self.heads, self.dtype,
                                name="cross_attn")(
-            nn.LayerNorm(dtype=self.dtype, name="norm2")(x), y, rope_x, rope_y)
+            _LN(dtype=self.dtype, name="norm2")(x), y_, rope_x, rope_y)
         x = x + Mlp(self.dim, self.mlp_ratio, self.dtype, name="mlp")(
-            nn.LayerNorm(dtype=self.dtype, name="norm3")(x))
+            _LN(dtype=self.dtype, name="norm3")(x))
         return x
 
 
@@ -163,12 +184,24 @@ class Encoder(nn.Module):
         for i in range(self.depth):
             x = EncoderBlock(self.dim, self.heads, self.mlp_ratio, self.dtype,
                              name=f"block{i}")(x, rope)
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        return _LN(dtype=self.dtype, name="norm")(x)
 
 
-class Decoder(nn.Module):
-    """Cross-attention decoder for one view. Returns all intermediate states
-    (for DPT hooks) plus the final normalized tokens."""
+class InterleavedDecoder(nn.Module):
+    """The CroCo/DUSt3R two-stream decoder (reference topology, call-site
+    main.py:46 `BaseDecoder`): both encoder outputs are projected by ONE
+    shared `decoder_embed`; then two stacks of decoder blocks (`block{i}`
+    maps the checkpoint's `dec_blocks.{i}`, `block2_{i}` maps
+    `dec_blocks2.{i}`) run interleaved — at step i each stream
+    cross-attends to the *other stream's step i-1 output*. One shared final
+    LayerNorm (`dec_norm`) normalizes both last states.
+
+    Returns (states1, states2): per stream, the embedded tokens followed by
+    every block output, with the last entry normalized — states{v}[i] is
+    block i-1's output, matching the dust3r DPT hook indexing
+    [enc, dec_0, ..., dec_{L-1}] once the caller substitutes the encoder
+    output for index 0.
+    """
 
     depth: int
     dim: int
@@ -179,17 +212,26 @@ class Decoder(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, feat_self, feat_other, pos_self, pos_other):
-        """feat_*: (B, T, enc_dim) encoder outputs; pos_*: (1, T, 2)."""
+    def __call__(self, f1, f2, pos1, pos2):
+        """f1, f2: (B, T, enc_dim) encoder outputs; pos*: (1, T, 2)."""
         hd = self.dim // self.heads
-        x = nn.Dense(self.dim, dtype=self.dtype, name="embed")(feat_self)
-        y = nn.Dense(self.dim, dtype=self.dtype, name="embed_other")(feat_other)
-        rope_x = rope_2d_freqs(pos_self, hd, self.rope_base)
-        rope_y = rope_2d_freqs(pos_other, hd, self.rope_base)
-        states = [x]
+        embed = nn.Dense(self.dim, dtype=self.dtype, name="embed")
+        x1, x2 = embed(f1), embed(f2)
+        rope1 = rope_2d_freqs(pos1, hd, self.rope_base)
+        rope2 = rope_2d_freqs(pos2, hd, self.rope_base)
+        states1, states2 = [x1], [x2]
         for i in range(self.depth):
-            x = DecoderBlock(self.dim, self.heads, self.mlp_ratio, self.dtype,
-                             name=f"block{i}")(x, y, rope_x, rope_y)
-            states.append(x)
-        states[-1] = nn.LayerNorm(dtype=self.dtype, name="norm")(states[-1])
-        return states
+            blk1 = DecoderBlock(self.dim, self.heads, self.mlp_ratio,
+                                self.dtype, name=f"block{i}")
+            blk2 = DecoderBlock(self.dim, self.heads, self.mlp_ratio,
+                                self.dtype, name=f"block2_{i}")
+            # both blocks read the PREVIOUS pair (x1, x2) — interleaved
+            n1 = blk1(x1, x2, rope1, rope2)
+            n2 = blk2(x2, x1, rope2, rope1)
+            x1, x2 = n1, n2
+            states1.append(x1)
+            states2.append(x2)
+        norm = _LN(dtype=self.dtype, name="norm")
+        states1[-1] = norm(states1[-1])
+        states2[-1] = norm(states2[-1])
+        return states1, states2

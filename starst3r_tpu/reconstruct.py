@@ -221,6 +221,13 @@ def reconstruct_scene(
                         max_corres_per_pair=cfg.matching.max_corres_per_pair)
     depth_basis = depth_coeffs = None
     if cfg.ga.lora_depth:
+        if not cfg.ga.opt_depth:
+            import warnings
+            warnings.warn(
+                "lora_depth without opt_depth freezes the spectral "
+                "coefficients: depth is only replaced by its lossy rank-k "
+                "approximation. Set GAConfig.opt_depth=True (the CLI "
+                "--lora-depth flag implies it).", stacklevel=2)
         # spectral low-rank depth (reference reconstruct.py:270-273): basis
         # from image appearance on the core grid, initial coefficients by
         # least squares against the canonical core depth

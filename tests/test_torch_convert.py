@@ -58,7 +58,7 @@ def _synthetic_state_dict(rng):
     for blocks in ("dec_blocks", "dec_blocks2"):
         for i in range(CFG.dec_depth):
             pfx = f"{blocks}.{i}"
-            for n in ("norm1", "norm2", "norm3"):
+            for n in ("norm1", "norm2", "norm3", "norm_y"):
                 add(f"{pfx}.{n}.weight", dd)
                 add(f"{pfx}.{n}.bias", dd)
             add(f"{pfx}.attn.qkv.weight", 3 * dd, dd)

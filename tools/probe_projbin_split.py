@@ -111,6 +111,11 @@ def sort1(eps):
     return jnp.sum(jax.vmap(pb)(w2c, K).astype(jnp.float32))
 
 
+# the packed int32 key reserves 22 low bits for depth: tile ids must fit
+# the remaining 9 magnitude bits or the key silently overflows
+assert T_TOTAL < (1 << (31 - 22)), T_TOTAL
+
+
 def sort1_packed(eps):
     def pb(vm, k):
         p = rz.project_gaussians(args[0] + eps, *args[1:], vm, k, 1)
