@@ -23,7 +23,7 @@ M = P * S correspondence slots):
 
 from __future__ import annotations
 
-from typing import Dict, List, NamedTuple, Sequence, Tuple
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -54,6 +54,16 @@ class CondensedData(NamedTuple):
     pair_matching_ok: np.ndarray  # (P,) bool
     preds21_pts: np.ndarray    # (P, S, 3) float32
     preds21_conf: np.ndarray   # (P, S) float32
+    # Optional anchored continuous endpoints (the reference's make_pts3d
+    # anchor densification — call-site reconstruct.py:380: a correspondence
+    # endpoint lives at a CONTINUOUS pixel whose depth is the core-cell
+    # depth times a fixed offset, so endpoints are not snapped to the core
+    # grid). None = endpoints at the core-grid pixels with offset 1
+    # (the subsample-grid matching case).
+    corr_pix1: Optional[np.ndarray] = None   # (M, 2) float32 pixel coords
+    corr_pix2: Optional[np.ndarray] = None   # (M, 2)
+    corr_doff1: Optional[np.ndarray] = None  # (M,) depth = core * doff
+    corr_doff2: Optional[np.ndarray] = None  # (M,)
 
 
 def condense(

@@ -70,6 +70,14 @@ class GAState(NamedTuple):
     corr_idx2: jnp.ndarray
     corr_conf: jnp.ndarray
     corr_pair: jnp.ndarray
+    # anchored continuous endpoints (reference make_pts3d anchors,
+    # call-site reconstruct.py:380): endpoint ray through corr_pix*, depth
+    # = core_depth[corr_idx*] * corr_doff*. Defaults (grid pixel, offset 1)
+    # reproduce plain core-grid correspondences exactly.
+    corr_pix1: jnp.ndarray      # (M, 2)
+    corr_pix2: jnp.ndarray      # (M, 2)
+    corr_doff1: jnp.ndarray     # (M,)
+    corr_doff2: jnp.ndarray     # (M,)
     pair_img1: jnp.ndarray
     pair_img2: jnp.ndarray
     pair_matching_ok: jnp.ndarray
@@ -120,6 +128,18 @@ def make_state(data: CondensedData, mst: Tuple[int, Any],
         corr_idx2=jnp.asarray(data.corr_idx2),
         corr_conf=jnp.asarray(data.corr_conf),
         corr_pair=jnp.asarray(data.corr_pair),
+        corr_pix1=jnp.asarray(
+            data.core_pix[data.corr_idx1] if data.corr_pix1 is None
+            else data.corr_pix1, jnp.float32),
+        corr_pix2=jnp.asarray(
+            data.core_pix[data.corr_idx2] if data.corr_pix2 is None
+            else data.corr_pix2, jnp.float32),
+        corr_doff1=jnp.asarray(
+            np.ones(len(data.corr_idx1), np.float32)
+            if data.corr_doff1 is None else data.corr_doff1, jnp.float32),
+        corr_doff2=jnp.asarray(
+            np.ones(len(data.corr_idx2), np.float32)
+            if data.corr_doff2 is None else data.corr_doff2, jnp.float32),
         pair_img1=jnp.asarray(data.pair_img1),
         pair_img2=jnp.asarray(data.pair_img2),
         pair_matching_ok=jnp.asarray(data.pair_matching_ok),
@@ -244,39 +264,59 @@ def _core_pts3d(K, cam2w, depth, state: GAState):
     return jnp.einsum("cij,csj->csi", R, cam_pts) + t[:, None, :]
 
 
-def _gather_pts(pts3d, img_idx, pt_idx):
-    """pts3d (C, S, 3) gathered at (img_idx (M,), pt_idx (M,)) -> (M, 3)."""
-    return pts3d[img_idx, pt_idx]
+def _endpoint_pts(K, cam2w, depth, state: GAState, img, idx, pix, doff):
+    """World position of anchored correspondence endpoints (M, 3).
+
+    Endpoint ray passes through the continuous pixel ``pix``; its depth is
+    the optimized core depth at the anchor cell ``idx`` times the fixed
+    offset ``doff`` — the reference's make_pts3d anchor densification
+    (call-site reconstruct.py:380). With pix = core_pix[idx] and doff = 1
+    this reduces exactly to gathering the core-grid 3D points.
+    """
+    z = depth[img, idx] * doff                     # (M,)
+    fx = K[img, 0, 0]
+    fy = K[img, 1, 1]
+    cx = K[img, 0, 2]
+    cy = K[img, 1, 2]
+    x = (pix[:, 0] - cx) / fx * z
+    y = (pix[:, 1] - cy) / fy * z
+    cam_pts = jnp.stack([x, y, z], axis=-1)        # (M, 3)
+    R = cam2w[img, :3, :3]                         # (M, 3, 3)
+    t = cam2w[img, :3, 3]
+    return jnp.einsum("mij,mj->mi", R, cam_pts) + t
 
 
-def _loss_3d(pts3d, state: GAState, gamma: float, alpha):
+def _loss_3d(K, cam2w, depth, state: GAState, gamma: float, alpha):
     """3D-3D correspondence loss over matching-ok, non-frozen pairs
     (reference reconstruct.py:325-353)."""
     ok = state.pair_matching_ok[state.corr_pair]
     both_frozen = (state.freeze[state.corr_img1]
                    & state.freeze[state.corr_img2])
     wgt = state.corr_conf * ok * (~both_frozen)
-    p1 = _gather_pts(pts3d, state.corr_img1, state.corr_idx1)
-    p2 = _gather_pts(pts3d, state.corr_img2, state.corr_idx2)
+    p1 = _endpoint_pts(K, cam2w, depth, state, state.corr_img1,
+                       state.corr_idx1, state.corr_pix1, state.corr_doff1)
+    p2 = _endpoint_pts(K, cam2w, depth, state, state.corr_img2,
+                       state.corr_idx2, state.corr_pix2, state.corr_doff2)
     dist = jnp.linalg.norm(p1 - p2 + 1e-12, axis=-1)
     loss = jnp.sum(wgt * meta_gamma_loss(dist, gamma, alpha))
     return loss / jnp.maximum(jnp.sum(wgt), 1e-8)
 
 
-def _loss_2d(pts3d, K, w2c, state: GAState, gamma: float, alpha):
+def _loss_2d(K, cam2w, depth, w2c, state: GAState, gamma: float, alpha):
     """2D reprojection loss (reference reconstruct.py:355-369): project the
     matched point of image2 into image1, compare with the match's pixel."""
     ok = state.pair_matching_ok[state.corr_pair]
     img1_frozen = state.freeze[state.corr_img1]
     wgt = state.corr_conf * ok * (~img1_frozen)
     proj = K @ w2c[:, :3]                          # (C, 3, 4)
-    p2 = _gather_pts(pts3d, state.corr_img2, state.corr_idx2)   # (M, 3)
+    p2 = _endpoint_pts(K, cam2w, depth, state, state.corr_img2,
+                       state.corr_idx2, state.corr_pix2, state.corr_doff2)
     pm = proj[state.corr_img1]                     # (M, 3, 4)
     homo = jnp.einsum("mij,mj->mi", pm[:, :, :3], p2) + pm[:, :, 3]
     z = homo[:, 2:3]
     z = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
     uv = homo[:, :2] / z
-    pix1 = state.core_pix[state.corr_idx1]         # (M, 2)
+    pix1 = state.corr_pix1                         # (M, 2)
     dist = jnp.linalg.norm(uv - pix1 + 1e-12, axis=-1)
     loss = jnp.sum(wgt * meta_gamma_loss(dist, gamma, alpha))
     return loss / jnp.maximum(jnp.sum(wgt), 1e-8)
@@ -349,12 +389,12 @@ def _optimize_phase(params: GAParams, state: GAState, niter: int,
     def loss_fn(p, step):
         K, w2c, cam2w, depth = make_K_cam_depth(p, state, cfg.depth_mode,
                                                 cfg.shared_intrinsics)
-        pts3d = _core_pts3d(K, cam2w, depth, state)
         alpha = 1.0 - step.astype(jnp.float32) / max(niter, 1)
         if phase == 1:
-            main = _loss_3d(pts3d, state, gamma, alpha)
+            main = _loss_3d(K, cam2w, depth, state, gamma, alpha)
         else:
-            main = _loss_2d(pts3d, K, w2c, state, gamma, alpha)
+            main = _loss_2d(K, cam2w, depth, w2c, state, gamma, alpha)
+        pts3d = _core_pts3d(K, cam2w, depth, state)
         reg = _loss_dust3r(pts3d, cam2w, state, cfg.gamma_d)
         return main + cfg.loss_dust3r_w * reg
 

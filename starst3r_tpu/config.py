@@ -189,6 +189,21 @@ class SplatConfig:
     max_per_tile: int = 1024        # per-tile entry capacity (overflow
                                     # counted in info["tile_overflow"])
     chunk: int = 128                # compositing chunk length
+    # pick the smallest power-of-2 (max_tiles_per_gaussian, max_per_tile)
+    # buckets the SCENE actually needs at train time (measured from the
+    # projected bbox areas / tile occupancy, growing — with a recompile —
+    # if the scene outgrows them; the configured values above become
+    # ceilings). The binning sorts and the gather backward scale with
+    # these budgets: auto-bucketing measured 2.4x on the bench scene
+    # (max area 4, max occupancy ~400 vs static 16/1024 budgets).
+    auto_budget: bool = True
+    # recompute tile binning (the two sorts) every N training steps.
+    # Cameras are fixed during splat training and means move ~lr per step,
+    # so the tile assignment drifts slowly; projection and all gradients
+    # stay exact regardless — only the binning indices age. 1 = rebin every
+    # step (gsplat-exact). The training loop always rebins right after an
+    # MCMC refine (relocated Gaussians jump).
+    rebin_every: int = 1
     # MCMC relocation + growth strategy (gsplat MCMCStrategy analog,
     # SURVEY §2b; defaults = gsplat MCMCStrategy defaults)
     cap_max: int = 1_000_000        # Gaussian pool growth ceiling
@@ -198,6 +213,12 @@ class SplatConfig:
     mcmc_refine_start: int = 500
     mcmc_refine_stop: int = 25_000
     mcmc_grow_factor: float = 1.05  # +5% alive slots per refine
+    # default Gaussian pool over-allocation: init_3dgs reserves
+    # min(cap_max, pool_headroom * N) slots so MCMC growth can activate
+    # them without reallocation (gsplat grows toward cap_max by default —
+    # reference starster/gs.py:43-45). 0 disables headroom (pool == N,
+    # growth inert).
+    pool_headroom: float = 2.0
     # compat quirks (SURVEY §2a quirk list — reproduce reference by default)
     compat_inverted_sh: bool = True     # SH init is (1 - color) in all bands
     compat_raw_activations: bool = True # raw opacity/scale to rasterizer

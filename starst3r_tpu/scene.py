@@ -114,9 +114,12 @@ class Scene:
             self.dense_cols.append(colors[mask])
 
     # ------------------------------------------------------------------
-    def init_3dgs(self, init_scale: float = 3e-3, lr: float = 1e-3):
+    def init_3dgs(self, init_scale: float = 3e-3, lr: float = 1e-3,
+                  pool_size: int = -1):
+        """pool_size -1 (default) reserves min(cap_max, pool_headroom * N)
+        inactive slots so MCMC growth is active (see splat.init_3dgs)."""
         from .splat import init_3dgs
-        return init_3dgs(self, init_scale, lr)
+        return init_3dgs(self, init_scale, lr, pool_size=pool_size)
 
     def render_3dgs(self, w2c, intrinsics, width: int, height: int):
         from .splat import render_3dgs

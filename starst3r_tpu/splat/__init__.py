@@ -23,12 +23,15 @@ __all__ = (
 
 
 def init_3dgs(scene, init_scale: float = 3e-3, lr: float = 1e-3,
-              pool_size: int = 0):
+              pool_size: int = -1):
     """Initialize splats + optimizer from the scene's dense points
     (reference: starster/gs.py:14-45).
 
     pool_size > N reserves inactive capacity so MCMC growth toward
     `SplatConfig.cap_max` can activate slots (static shapes, see mcmc.py).
+    The default (-1) reserves min(cap_max, pool_headroom * N) so growth is
+    ACTIVE out of the box, like gsplat's add_new_gs toward cap_max
+    (reference starster/gs.py:43-45); pass 0 to disable headroom.
     """
     cfg = scene.config.splat
     if init_scale != cfg.init_scale or lr != cfg.lr:
@@ -37,6 +40,9 @@ def init_3dgs(scene, init_scale: float = 3e-3, lr: float = 1e-3,
         scene.config = dataclasses.replace(scene.config, splat=cfg)
     pts = scene.dense_pts_flat
     cols = scene.dense_cols_flat
+    if pool_size < 0:
+        pool_size = min(cfg.cap_max,
+                        int(cfg.pool_headroom * pts.shape[0]))
     scene.gs_state = init_gaussians(pts, cols, cfg, pool_size=pool_size)
     return scene.gs_state
 

@@ -29,12 +29,13 @@ alpha (C,H,W,1), info).
 from __future__ import annotations
 
 import functools
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ("project_gaussians", "rasterize", "sh_eval")
+__all__ = ("Bins", "bin_gaussians", "project_gaussians", "rasterize",
+           "sh_eval")
 
 _SH_C0 = 0.28209479177387814
 _SH_C1 = 0.4886025119029199
@@ -133,9 +134,22 @@ def project_gaussians(means, quats, scales, opacities, sh, w2c, K,
     return Projected(means2d, z, conics, radii, colors, opacities, valid)
 
 
+def _depth_bits(t_total: int) -> int:
+    """Bits of the packed sort key reserved for quantized depth: the tile id
+    (0..t_total inclusive — t_total is the invalid sentinel) takes the high
+    bits, depth the rest of the 31 magnitude bits of an int32."""
+    tile_bits = max(int(t_total + 1).bit_length(), 1)
+    db = 31 - tile_bits
+    if db < 8:
+        raise ValueError(f"too many tiles ({t_total}) for the packed "
+                         "int32 sort key")
+    return db
+
+
 def _bin_gaussians(proj: Projected, tw: int, th: int, tile: int,
-                   max_tiles: int):
-    """Emit (tile_id, depth, idx) entries, sorted by (tile, depth).
+                   max_tiles: int, max_per_tile: int):
+    """Emit per-Gaussian tile entries, ordered by (tile, depth), with the
+    index structure both the forward gather and its backward need.
 
     Each Gaussian's projected bbox (center ± radius, clipped to the image)
     is enumerated EXACTLY in row-major order up to ``max_tiles`` entries —
@@ -143,8 +157,22 @@ def _bin_gaussians(proj: Projected, tw: int, th: int, tile: int,
     is binned into every tile it touches regardless of radius or position.
     Gaussians whose bbox exceeds the budget are truncated and COUNTED
     (returned as ``n_clipped``; surfaced via info["n_tiles_clipped"]).
-    Returns (sorted_tile (L,), sorted_idx (L,), tile_starts (T+1,),
-    n_clipped ()).
+
+    The (tile, depth) order comes from ONE sort on a PACKED int32 key:
+    tile id in the high bits, the top bits of the depth's float32 bit
+    pattern in the low bits (positive floats compare like their bit
+    patterns, so the quantization keeps exact sign/exponent and >= 8
+    mantissa bits — measured 1.2x faster than the 2-key (tile, f32 depth)
+    sort at bench scale, tools/probe_projbin_split.py). A second tiny sort
+    by Gaussian id carries each entry's (tile*K + slot) position as
+    payload, yielding ``bw_idx`` (N, max_tiles): the PRE-COMPOSED gather
+    indices that turn the gather backward into a single dense row-gather +
+    fixed-length sum — no scatter-add, no L-sized regroup (one composed
+    gather measured 4x faster than the two-gather regroup,
+    tools/probe_gather_variants.py).
+
+    Returns (sorted_idx (L,), starts (T+1,), bw_idx (N, max_tiles),
+    counts (T,), overflow (), n_clipped ()).
     """
     n = proj.means2d.shape[0]
     t_total = tw * th
@@ -168,74 +196,79 @@ def _bin_gaussians(proj: Projected, tw: int, th: int, tile: int,
     tile_id = jnp.where(ok, ty * tw + tx, t_total).astype(jnp.int32)
     n_clipped = jnp.sum((proj.valid & (area > max_tiles)).astype(jnp.int32))
 
-    flat_tile = tile_id.reshape(-1)
-    flat_depth = jnp.broadcast_to(proj.depths[:, None],
-                                  tile_id.shape).reshape(-1)
+    db = _depth_bits(t_total)
+    zbits = jax.lax.bitcast_convert_type(
+        jnp.maximum(proj.depths, 1e-30).astype(jnp.float32), jnp.int32)
+    zq = jax.lax.shift_right_logical(zbits, 31 - db)      # (N,) in [0, 2^db)
+    key = (jax.lax.shift_left(tile_id, db)
+           + jnp.broadcast_to(zq[:, None], tile_id.shape)).reshape(-1)
     flat_idx = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[:, None], tile_id.shape).reshape(-1)
+    sorted_key, sorted_idx = jax.lax.sort((key, flat_idx), num_keys=1)
 
-    sorted_tile, _, sorted_idx = jax.lax.sort(
-        (flat_tile, flat_depth, flat_idx), num_keys=2)
-    starts = jnp.searchsorted(sorted_tile,
-                              jnp.arange(t_total + 1, dtype=jnp.int32))
-    # group sorted positions by owning Gaussian (each Gaussian owns exactly
-    # `max_tiles` flat entries): by_gauss.reshape(N, max_tiles)[n] lists the
-    # sorted positions of Gaussian n's entries. This turns the gather
-    # BACKWARD into two dense gathers + a length-max_tiles segment sum —
-    # no scatter-add (TPU scatters serialize; tools/probe_gather_bwd.py).
-    _, by_gauss = jax.lax.sort(
-        (sorted_idx, jnp.arange(sorted_idx.shape[0], dtype=jnp.int32)),
-        num_keys=1)
-    return sorted_tile, sorted_idx, starts, by_gauss, n_clipped
+    starts = jnp.searchsorted(
+        sorted_key,
+        jax.lax.shift_left(jnp.arange(t_total + 1, dtype=jnp.int32), db))
+    raw_counts = (starts[1:] - starts[:-1]).astype(jnp.int32)
+    counts = jnp.minimum(raw_counts, max_per_tile)
+    overflow = jnp.sum(jnp.maximum(raw_counts - max_per_tile, 0))
+    max_count = jnp.max(raw_counts)
+
+    # each sorted position's (tile*K + slot) target in the gathered (T, K)
+    # layout; entries past a tile's K slots or in the sentinel tile map to
+    # the zero row t_total*K
+    l = sorted_key.shape[0]
+    s_pos = jnp.arange(l, dtype=jnp.int32)
+    t_of = jnp.minimum(
+        jax.lax.shift_right_logical(sorted_key, db), t_total - 1)
+    slot = s_pos - starts[t_of]
+    lin = jnp.where((sorted_key < (t_total << db)) & (slot < max_per_tile),
+                    t_of * max_per_tile + slot, t_total * max_per_tile)
+    # group by owning Gaussian: every Gaussian owns exactly max_tiles
+    # entries, so the grouped payload reshapes to (N, max_tiles)
+    _, bw_flat = jax.lax.sort((sorted_idx, lin), num_keys=1)
+    bw_idx = bw_flat.reshape(n, max_tiles)
+    return sorted_idx, starts, bw_idx, counts, overflow, n_clipped, max_count
 
 
 @jax.custom_vjp
-def _gather_packed(packed, gidx, ent_valid, sorted_tile, starts, by_gauss_2d):
+def _gather_packed(packed, gidx, ent_valid, bw_idx):
     """``packed[gidx] * ent_valid`` with a scatter-free backward.
 
     The autodiff VJP of this gather is a scatter-add of T*K rows into
     (N, 9) — TPU scatters serialize (197 ms at bench scale,
-    tools/probe_gather_bwd.py). Instead the backward re-expresses the
-    reduction with forward-computed index structure only:
-      1. arrange the cotangent by SORTED position: position s lives in tile
-         sorted_tile[s] at slot s - starts[tile] (one dense gather);
-      2. group by owning Gaussian via ``by_gauss_2d`` (N, max_tiles), the
-         second sort's permutation from _bin_gaussians (one dense gather);
-      3. sum the max_tiles entries of each Gaussian (dense reduction).
-    All index args are int arrays (cotangent None)."""
+    tools/probe_gather_bwd.py). Instead, ``bw_idx`` (N, max_tiles) holds
+    each Gaussian's entry positions in the (T*K) cotangent layout,
+    PRE-COMPOSED by _bin_gaussians' second sort (sentinel T*K for dropped
+    entries), so the backward is one dense row-gather from the
+    zero-row-padded cotangent plus a fixed-length sum — measured 4x faster
+    than gathering the L-sized regroup (tools/probe_gather_variants.py
+    V2 vs V1: 50 ms vs 196 ms at bench scale)."""
     ga = packed[gidx]                                     # (T, K, 9)
     return jnp.where(ent_valid[..., None], ga, 0.0)
 
 
-def _gather_packed_fwd(packed, gidx, ent_valid, sorted_tile, starts,
-                       by_gauss_2d):
-    out = _gather_packed(packed, gidx, ent_valid, sorted_tile, starts,
-                         by_gauss_2d)
-    return out, (sorted_tile, starts, by_gauss_2d, packed.shape[0])
+def _gather_packed_fwd(packed, gidx, ent_valid, bw_idx):
+    out = _gather_packed(packed, gidx, ent_valid, bw_idx)
+    return out, (bw_idx,)
 
 
 def _gather_packed_bwd(res, g):
-    sorted_tile, starts, by_gauss_2d, n = res
-    t_total = starts.shape[0] - 1
-    k = g.shape[1]
-    l = sorted_tile.shape[0]
-    s_pos = jnp.arange(l, dtype=jnp.int32)
-    t_of = jnp.minimum(sorted_tile, t_total - 1)
-    slot = s_pos - starts[t_of]
-    ok = (sorted_tile < t_total) & (slot < k)
-    lin = jnp.where(ok, t_of * k + slot, 0)
-    gflat = g.reshape(t_total * k, -1)[lin]               # (L, 9)
-    gflat = jnp.where(ok[:, None], gflat, 0.0)
-    d_packed = gflat[by_gauss_2d.reshape(-1)].reshape(
-        n, -1, g.shape[-1]).sum(axis=1)                   # (N, 9)
-    return d_packed, None, None, None, None, None
+    (bw_idx,) = res
+    tk = g.shape[0] * g.shape[1]
+    a = g.shape[-1]
+    g2 = jnp.concatenate(
+        [g.reshape(tk, a), jnp.zeros((1, a), g.dtype)], axis=0)
+    d_packed = g2[bw_idx.reshape(-1)].reshape(
+        bw_idx.shape[0], bw_idx.shape[1], a).sum(axis=1)  # (N, 9)
+    return d_packed, None, None, None
 
 
 _gather_packed.defvjp(_gather_packed_fwd, _gather_packed_bwd)
 
 
-def _gather_entries(proj: Projected, sorted_tile, sorted_idx, starts,
-                    by_gauss, max_per_tile: int):
+def _gather_entries(proj: Projected, sorted_idx, starts, bw_idx,
+                    max_per_tile: int):
     """Gather per-tile entry attributes.
 
     All 9 per-Gaussian attributes (mean2d, conic, color, opacity) are packed
@@ -244,27 +277,27 @@ def _gather_entries(proj: Projected, sorted_tile, sorted_idx, starts,
     unpacking slices fuse into the consumers. The gather rides
     `_gather_packed` for its scatter-free custom backward.
 
+    Opacity is validity-masked BEFORE packing so stale bins (rebinning
+    every N steps, SplatConfig.rebin_every) cannot composite a Gaussian
+    that has since been culled (z <= near or opacity below threshold).
+
     Returns (g_mean (T,K,2), g_conic (T,K,3), g_color (T,K,3),
-    g_op (T,K) zeroed beyond each tile's count, counts (T,), overflow)."""
-    n = proj.means2d.shape[0]
+    g_op (T,K) zeroed beyond each tile's count)."""
     slot = jnp.arange(max_per_tile, dtype=jnp.int32)      # (K,)
     ent = starts[:-1, None] + slot[None, :]               # (T, K)
     ent_valid = ent < starts[1:, None]
     ent = jnp.minimum(ent, sorted_idx.shape[0] - 1)
     gidx = sorted_idx[ent]                                # (T, K)
     packed = jnp.concatenate(
-        [proj.means2d, proj.conics, proj.colors, proj.opacities[:, None]],
+        [proj.means2d, proj.conics, proj.colors,
+         jnp.where(proj.valid, proj.opacities, 0.0)[:, None]],
         axis=1)                                           # (N, 9)
-    ga = _gather_packed(packed, gidx, ent_valid, sorted_tile, starts,
-                        by_gauss.reshape(n, -1))          # (T, K, 9)
+    ga = _gather_packed(packed, gidx, ent_valid, bw_idx)  # (T, K, 9)
     g_mean = ga[..., 0:2]
     g_conic = ga[..., 2:5]
     g_color = ga[..., 5:8]
     g_op = ga[..., 8]                                     # (T, K)
-    raw_counts = (starts[1:] - starts[:-1]).astype(jnp.int32)
-    counts = jnp.minimum(raw_counts, max_per_tile)
-    overflow = jnp.sum(jnp.maximum(raw_counts - max_per_tile, 0))
-    return g_mean, g_conic, g_color, g_op, counts, overflow
+    return g_mean, g_conic, g_color, g_op
 
 
 def _composite_tiles(g_mean, g_conic, g_color, g_op, h: int, w: int,
@@ -565,6 +598,75 @@ def _default_impl() -> str:
     return "xla"
 
 
+class Bins(NamedTuple):
+    """Per-camera tile-binning index structure (no gradients flow through
+    it). Computable separately from compositing so training loops can
+    REBIN EVERY N STEPS (SplatConfig.rebin_every): camera poses are fixed
+    during splat training and tile assignment only drifts as means move,
+    so the two sorts amortize across steps while projection (and all
+    gradients) stay exact every step."""
+
+    sorted_idx: jnp.ndarray   # (C, L) Gaussian id per sorted entry
+    starts: jnp.ndarray       # (C, T+1) tile segment starts
+    bw_idx: jnp.ndarray       # (C, N, E) composed backward gather indices
+    counts: jnp.ndarray       # (C, T) capped per-tile entry counts
+    overflow: jnp.ndarray     # (C,) entries dropped by max_per_tile
+    n_clipped: jnp.ndarray    # (C,) Gaussians with bbox > max_tiles
+    max_count: jnp.ndarray    # (C,) UNCAPPED max per-tile occupancy
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "tile_size"))
+def max_bbox_area(means, quats, scales, opacities, sh, viewmats, Ks,
+                  width: int, height: int, tile_size: int = 16):
+    """Largest tile-bbox area of any valid Gaussian across all cameras —
+    the scene's TRUE per-Gaussian tile-budget requirement (used by the
+    training loop to pick the smallest power-of-2 `max_tiles_per_gaussian`
+    bucket; VERDICT r3: the static budget is the binning cost driver)."""
+    tw = -(-width // tile_size)
+    th = -(-height // tile_size)
+
+    def pb(w2c, K):
+        proj = project_gaussians(means, quats, scales, opacities, sh, w2c,
+                                 K, 0)
+        tx0 = jnp.clip(jnp.floor(
+            (proj.means2d[:, 0] - proj.radii) / tile_size), 0, tw - 1)
+        ty0 = jnp.clip(jnp.floor(
+            (proj.means2d[:, 1] - proj.radii) / tile_size), 0, th - 1)
+        tx1 = jnp.clip(jnp.floor(
+            (proj.means2d[:, 0] + proj.radii) / tile_size), 0, tw - 1)
+        ty1 = jnp.clip(jnp.floor(
+            (proj.means2d[:, 1] + proj.radii) / tile_size), 0, th - 1)
+        area = ((tx1 - tx0 + 1) * (ty1 - ty0 + 1)).astype(jnp.int32)
+        return jnp.max(jnp.where(proj.valid, area, 0))
+
+    return jnp.max(jax.vmap(pb)(viewmats, Ks))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "sh_degree", "tile_size",
+                     "max_tiles_per_gaussian", "max_per_tile"))
+def bin_gaussians(means, quats, scales, opacities, sh, viewmats, Ks,
+                  width: int, height: int, sh_degree: int = 1,
+                  tile_size: int = 16, max_tiles_per_gaussian: int = 16,
+                  max_per_tile: int = 1024) -> Bins:
+    """Project + tile-bin all cameras, returning only the index structure
+    (for `rasterize(..., bins=...)` reuse across training steps)."""
+    tw = -(-width // tile_size)
+    th = -(-height // tile_size)
+
+    def pb(w2c, K):
+        proj = project_gaussians(means, quats, scales, opacities, sh, w2c,
+                                 K, sh_degree)
+        return _bin_gaussians(proj, tw, th, tile_size,
+                              max_tiles_per_gaussian, max_per_tile)
+
+    out = jax.vmap(pb)(viewmats, Ks)
+    return Bins(*out)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "sh_degree", "tile_size",
@@ -574,7 +676,7 @@ def rasterize(means, quats, scales, opacities, sh, viewmats, Ks,
               width: int, height: int, sh_degree: int = 1,
               tile_size: int = 16, max_tiles_per_gaussian: int = 16,
               max_per_tile: int = 1024, chunk: int = 128,
-              impl: str = "auto"):
+              impl: str = "auto", bins: Optional[Bins] = None):
     """Render C cameras. means (N,3), quats (N,4) wxyz, scales (N,3) linear,
     opacities (N,) linear, sh (N,K,3), viewmats=w2c (C,4,4), Ks (C,3,3).
 
@@ -582,6 +684,11 @@ def rasterize(means, quats, scales, opacities, sh, viewmats, Ks,
     'ref' (pure-XLA scan, autodiff backward, parity oracle),
     'pallas' (experimental TPU kernels, opt-in via STARST3R_PALLAS=1),
     or 'auto' (env override, else xla).
+
+    ``bins``: optional precomputed `bin_gaussians` result — skips the two
+    binning sorts (training loops rebin every `rebin_every` steps);
+    projection and every gradient stay exact, only the tile assignment and
+    the depth ORDER are as stale as the bins.
 
     Coverage caps are counted, never silent: info["n_tiles_clipped"] is the
     per-camera number of Gaussians whose tile bbox exceeded
@@ -592,20 +699,28 @@ def rasterize(means, quats, scales, opacities, sh, viewmats, Ks,
     """
     if impl == "auto":
         impl = _default_impl()
+    chunk = min(chunk, max_per_tile)   # static; small auto-budget buckets
     tw = -(-width // tile_size)
     th = -(-height // tile_size)
 
-    def project_bin(w2c, K):
+    def project_bin(w2c, K, bins_c):
         proj = project_gaussians(means, quats, scales, opacities, sh, w2c, K,
                                  sh_degree)
-        sorted_tile, sorted_idx, starts, by_gauss, n_clip = _bin_gaussians(
-            proj, tw, th, tile_size, max_tiles_per_gaussian)
-        ents = _gather_entries(proj, sorted_tile, sorted_idx, starts,
-                               by_gauss, max_per_tile)
-        return ents + (n_clip, proj.means2d, proj.radii, proj.depths)
+        if bins_c is None:
+            (sorted_idx, starts, bw_idx, counts, overflow, n_clip,
+             _) = _bin_gaussians(proj, tw, th, tile_size,
+                                 max_tiles_per_gaussian, max_per_tile)
+        else:
+            (sorted_idx, starts, bw_idx, counts, overflow, n_clip,
+             _) = bins_c
+        ents = _gather_entries(proj, sorted_idx, starts, bw_idx,
+                               max_per_tile)
+        return ents + (counts, overflow, n_clip, proj.means2d, proj.radii,
+                       proj.depths)
 
     (g_mean, g_conic, g_color, g_op, counts, overflow, n_clip, means2d,
-     radii, depths) = jax.vmap(project_bin)(viewmats, Ks)  # (C, T, ...) each
+     radii, depths) = jax.vmap(project_bin)(
+        viewmats, Ks, bins if bins is not None else None)  # (C, T, ...)
 
     if impl == "pallas":
         from .pallas_composite import _pack_attr, composite_entries

@@ -36,7 +36,7 @@ import optax
 from ..config import SplatConfig
 from ..ops.ssim import ssim as ssim_fn
 from .mcmc import MCMCConfig, add_position_noise, grow_target, relocate_dead
-from .rasterize import rasterize
+from .rasterize import bin_gaussians, rasterize
 
 __all__ = ("GSState", "init_gaussians", "render", "train_step",
            "run_optim", "mcmc_config_from")
@@ -121,10 +121,12 @@ def _scale_act(cfg: SplatConfig):
 
 
 def render(params: Dict[str, jnp.ndarray], w2c, Ks, width: int, height: int,
-           cfg: SplatConfig, n_alive: Optional[jnp.ndarray] = None):
+           cfg: SplatConfig, n_alive: Optional[jnp.ndarray] = None,
+           bins=None):
     """Reference-equivalent render: colors=shN, sh_degree=1 (gs.py:76-87).
 
     n_alive (optional traced int): inactive pool slots render with opacity 0.
+    bins: optional precomputed `bin_gaussians` result (rebin_every reuse).
     Returns (rgb (C,H,W,3), alpha (C,H,W,1), info).
     """
     op = _opacity_act(cfg)[0](params["opacities"])
@@ -137,15 +139,74 @@ def render(params: Dict[str, jnp.ndarray], w2c, Ks, width: int, height: int,
         jnp.asarray(w2c), jnp.asarray(Ks), width, height,
         sh_degree=cfg.sh_degree, tile_size=cfg.tile_size,
         max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
-        max_per_tile=cfg.max_per_tile, chunk=cfg.chunk)
+        max_per_tile=cfg.max_per_tile, chunk=cfg.chunk, bins=bins)
+
+
+def compute_bins(params: Dict[str, jnp.ndarray], w2c, Ks, width: int,
+                 height: int, cfg: SplatConfig,
+                 n_alive: Optional[jnp.ndarray] = None):
+    """Tile-binning index structure for `train_step(..., bins=...)`."""
+    op = _opacity_act(cfg)[0](params["opacities"])
+    sc = _scale_act(cfg)[0](params["scales"])
+    if n_alive is not None:
+        alive = jnp.arange(op.shape[0], dtype=jnp.int32) < n_alive
+        op = jnp.where(alive, op, 0.0)
+    return bin_gaussians(
+        params["means"], params["quats"], sc, op, params["shN"],
+        jnp.asarray(w2c), jnp.asarray(Ks), width, height,
+        sh_degree=cfg.sh_degree, tile_size=cfg.tile_size,
+        max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+        max_per_tile=cfg.max_per_tile)
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(int(x) - 1, 0).bit_length() if x > 1 else 1
+
+
+def _scene_max_area(params, w2c, Ks, width, height, cfg, n_alive):
+    from .rasterize import max_bbox_area
+    op = _opacity_act(cfg)[0](params["opacities"])
+    sc = _scale_act(cfg)[0](params["scales"])
+    if n_alive is not None:
+        alive = jnp.arange(op.shape[0], dtype=jnp.int32) < n_alive
+        op = jnp.where(alive, op, 0.0)
+    return int(jax.device_get(max_bbox_area(
+        params["means"], params["quats"], sc, op, params["shN"],
+        jnp.asarray(w2c), jnp.asarray(Ks), width, height,
+        tile_size=cfg.tile_size)))
+
+
+def _autobudget_cfg(state: GSState, w2c, Ks, width, height,
+                    cfg: SplatConfig) -> SplatConfig:
+    """Smallest power-of-2 tile budgets the scene needs right now.
+
+    The configured max_tiles_per_gaussian / max_per_tile become CEILINGS;
+    below them nothing is ever dropped (the loop grows the bucket — one
+    recompile — when the scene outgrows it), at the ceiling the reference
+    counted-cap semantics apply unchanged."""
+    import dataclasses
+    area = _scene_max_area(state.params, w2c, Ks, width, height, cfg,
+                           state.n_alive)
+    mt = min(_next_pow2(max(area, 2)), cfg.max_tiles_per_gaussian)
+    probe = compute_bins(
+        state.params, w2c, Ks, width, height,
+        dataclasses.replace(cfg, max_tiles_per_gaussian=mt),
+        n_alive=state.n_alive)
+    mc = int(jax.device_get(jnp.max(probe.max_count)))
+    mpt = min(max(_next_pow2(int(mc * 1.25) + 1), 64), cfg.max_per_tile)
+    return dataclasses.replace(cfg, max_tiles_per_gaussian=mt,
+                               max_per_tile=mpt)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "cfg",
                                              "n_cams"))
 def train_step(state: GSState, gt: jnp.ndarray, w2c: jnp.ndarray,
                Ks: jnp.ndarray, width: int, height: int, cfg: SplatConfig,
-               n_cams: int):
-    """One optimization step over all cameras. gt: (C, H, W, 3) in [0,1]."""
+               n_cams: int, bins=None):
+    """One optimization step over all cameras. gt: (C, H, W, 3) in [0,1].
+
+    bins: optional `compute_bins` result (cfg.rebin_every reuse — skips
+    the two binning sorts; gradients stay exact)."""
     opt = optax.adam(cfg.lr)
     cap = state.params["means"].shape[0]
     alive = (jnp.arange(cap, dtype=jnp.int32) < state.n_alive)
@@ -153,7 +214,7 @@ def train_step(state: GSState, gt: jnp.ndarray, w2c: jnp.ndarray,
 
     def loss_fn(params):
         rgb, alpha, _ = render(params, w2c, Ks, width, height, cfg,
-                               n_alive=state.n_alive)
+                               n_alive=state.n_alive, bins=bins)
         l1 = jnp.mean(jnp.abs(gt - rgb), axis=(1, 2, 3))          # (C,)
         ssim_val = jax.vmap(lambda a, b: ssim_fn(a, b))(gt, rgb)  # (C,)
         per_cam = (l1 * (1 - cfg.loss_ssim_fac)
@@ -245,6 +306,11 @@ def run_optim(state: GSState, gt_images: np.ndarray, w2c: np.ndarray,
     trace_ctx = trace_if("splat_optim")
     trace_ctx.__enter__()
     trace_open = True
+    rebin = max(int(cfg.rebin_every), 1)
+    import dataclasses
+    scfg = _autobudget_cfg(state, w2c_j, ks_j, w, h, cfg) \
+        if cfg.auto_budget else cfg
+    bins = None   # reused across steps when rebin > 1 (full-camera path)
     for it in range(iters):
         if trace_open and it == 3:
             # trace only the first steps (compile + a few steady steps):
@@ -252,17 +318,48 @@ def run_optim(state: GSState, gt_images: np.ndarray, w2c: np.ndarray,
             trace_ctx.__exit__(None, None, None)
             trace_open = False
         if cb:
+            # camera minibatches change the camera set every step — bins
+            # cannot be reused across steps
             sel = jnp.asarray(cam_rng.choice(c, size=cb, replace=False))
             state, loss = train_step(state, gt[sel], w2c_j[sel], ks_j[sel],
-                                     w, h, cfg, cb)
+                                     w, h, scfg, cb)
         else:
-            state, loss = train_step(state, gt, w2c_j, ks_j, w, h, cfg, c)
+            if bins is None or it % rebin == 0:
+                bins = compute_bins(state.params, w2c_j, ks_j, w, h, scfg,
+                                    n_alive=state.n_alive)
+                if cfg.auto_budget:
+                    # grow a bucket (recompile) the moment the scene
+                    # outgrows it — nothing is dropped below the ceilings
+                    grown = scfg
+                    if (int(jax.device_get(jnp.max(bins.n_clipped))) > 0
+                            and scfg.max_tiles_per_gaussian
+                            < cfg.max_tiles_per_gaussian):
+                        grown = dataclasses.replace(
+                            grown, max_tiles_per_gaussian=min(
+                                scfg.max_tiles_per_gaussian * 2,
+                                cfg.max_tiles_per_gaussian))
+                    mc = int(jax.device_get(jnp.max(bins.max_count)))
+                    if (mc > scfg.max_per_tile
+                            and scfg.max_per_tile < cfg.max_per_tile):
+                        grown = dataclasses.replace(
+                            grown, max_per_tile=min(
+                                _next_pow2(int(mc * 1.25) + 1),
+                                cfg.max_per_tile))
+                    if grown is not scfg:
+                        scfg = grown
+                        bins = compute_bins(state.params, w2c_j, ks_j, w,
+                                            h, scfg,
+                                            n_alive=state.n_alive)
+            state, loss = train_step(state, gt, w2c_j, ks_j, w, h, scfg, c,
+                                     bins=bins)
         if enable_pruning:
             step = int(state.step)
             do_refine = (step >= mcfg.refine_start
                          and step < mcfg.refine_stop
                          and step % mcfg.refine_every == 0)
             state = _mcmc_post_step(state, cfg.lr, cfg, mcfg, do_refine)
+            if do_refine:
+                bins = None   # relocated Gaussians jump: force a rebin
         losses.append(float(loss))
         if verbose and (it % 50 == 0 or it == iters - 1):
             print(f"[3dgs] step {int(state.step)} loss={losses[-1]:.4f} "

@@ -61,12 +61,20 @@ def _project(c2w, K, X):
 
 
 def synthetic_ga_scene(n_cams: int = 4, hw: int = 128, focal: float = 180.0,
-                       subsample: int = 4, focal_error: float = 0.0):
+                       subsample: int = 4, focal_error: float = 0.0,
+                       snap_free: bool = False):
     """Planted multi-view scene on a sphere (curved — no planar SfM
     degeneracy).
 
     Returns (data: CondensedData, mst: (root, edges), gt_c2w (C,4,4),
-    K (3,3)). The construction's only noise is core-grid snapping (~1px).
+    K (3,3)). With ``snap_free=False`` the construction's only noise is
+    core-grid snapping of the matched endpoint (~subsample/2 px), the same
+    quantization the subsample-grid matcher has. ``snap_free=True`` uses
+    the GA's anchored continuous endpoints (corr_pix2 at the EXACT
+    projection, corr_doff2 the exact depth ratio to the anchor cell —
+    the reference's make_pts3d anchor mechanism, call-site
+    reconstruct.py:380), making every correspondence residual exactly zero
+    at the planted poses: the GA must recover them to ATE << 1%.
     """
     h = w = hw
     sph_c = np.array([0.0, 0.0, 4.0])
@@ -95,6 +103,8 @@ def synthetic_ga_scene(n_cams: int = 4, hw: int = 128, focal: float = 180.0,
     cx2 = np.zeros((p, s), np.int32)
     cc = np.zeros((p, s), np.float32)
     cp = np.zeros((p, s), np.int32)
+    cpix2 = np.zeros((p, s, 2), np.float32)
+    cdoff2 = np.ones((p, s), np.float32)
     for k, (i, j) in enumerate(pairs):
         uv, z = _project(gt[j], K, pts[i])
         gx = np.clip(np.round((uv[:, 0] - subsample // 2) / subsample),
@@ -110,6 +120,11 @@ def synthetic_ga_scene(n_cams: int = 4, hw: int = 128, focal: float = 180.0,
         cx2[k] = idx2
         cc[k] = inside.astype(np.float32)
         cp[k] = k
+        if snap_free:
+            # anchored continuous endpoint: ray through the exact
+            # projection, depth = anchor-cell core depth * exact ratio
+            cpix2[k] = uv.astype(np.float32)
+            cdoff2[k] = (z / depths[j][idx2]).astype(np.float32)
 
     med = np.median(depths, axis=1)
     data = CondensedData(
@@ -127,6 +142,8 @@ def synthetic_ga_scene(n_cams: int = 4, hw: int = 128, focal: float = 180.0,
         pair_matching_ok=np.ones(p, bool),
         preds21_pts=np.zeros((p, s, 3), np.float32),
         preds21_conf=np.zeros((p, s), np.float32),
+        corr_pix2=cpix2.reshape(-1, 2) if snap_free else None,
+        corr_doff2=cdoff2.reshape(-1) if snap_free else None,
     )
     mst = (0, [(i, i + 1) for i in range(n_cams - 1)])
     return data, mst, gt, K
