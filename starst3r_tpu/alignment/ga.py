@@ -368,23 +368,36 @@ def _trainable_mask(params: GAParams, state: GAState, phase: int,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("niter", "lr_base", "lr_end",
-                                             "gamma", "phase", "cfg"))
-def _optimize_phase(params: GAParams, state: GAState, niter: int,
-                    lr_base: float, lr_end: float, gamma: float, phase: int,
-                    cfg: GAConfig):
-    """One fully-on-device optimization phase (lax.fori_loop)."""
-
-    mask = _trainable_mask(params, state, phase, cfg)
-
+def _phase_opt(cfg: GAConfig, niter: int, lr_base: float, lr_end: float):
     def lr_at(step):
         alpha = step.astype(jnp.float32) / max(niter, 1)
         return cosine_schedule(alpha, lr_base, lr_end)
 
-    opt = optax.chain(
+    return optax.chain(
         optax.scale_by_adam(b1=cfg.adam_b1, b2=cfg.adam_b2),
         optax.scale_by_schedule(lambda s: -lr_at(s)),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("niter", "nsteps", "lr_base",
+                                             "lr_end", "gamma", "phase",
+                                             "cfg"))
+def _optimize_chunk(params: GAParams, opt_state, stopped, prev_loss,
+                    state: GAState, start, niter: int, nsteps: int,
+                    lr_base: float, lr_end: float, gamma: float, phase: int,
+                    cfg: GAConfig):
+    """``nsteps`` optimization steps starting at absolute step ``start``
+    of an ``niter``-step phase (lax.fori_loop on device).
+
+    Phases are CHUNKED into short kernels by `_optimize_phase`: the axon
+    TPU tunnel kills device kernels that run longer than a few seconds, and
+    a 500-iteration fori_loop at real scene sizes exceeds that; chunking
+    also gives the host a progress/interrupt point. The Adam state,
+    absolute-step LR/annealing schedules, and the NaN-freeze flag all
+    thread through unchanged, so chunked == unchunked bit-for-bit."""
+
+    mask = _trainable_mask(params, state, phase, cfg)
+    opt = _phase_opt(cfg, niter, lr_base, lr_end)
 
     def loss_fn(p, step):
         K, w2c, cam2w, depth = make_K_cam_depth(p, state, cfg.depth_mode,
@@ -414,10 +427,32 @@ def _optimize_phase(params: GAParams, state: GAState, niter: int,
         return (keep(p, p2), keep(opt_state, opt_state2),
                 jnp.where(stop_now, last_loss, loss), stop_now)
 
-    opt_state = opt.init(params)
-    init = (params, opt_state, jnp.inf, jnp.asarray(False))
-    params, _, final_loss, _ = jax.lax.fori_loop(0, niter, body, init)
-    return params, final_loss
+    init = (params, opt_state, prev_loss, stopped)
+    params, opt_state, final_loss, stopped = jax.lax.fori_loop(
+        start, start + nsteps, body, init)
+    return params, opt_state, final_loss, stopped
+
+
+def _optimize_phase(params: GAParams, state: GAState, niter: int,
+                    lr_base: float, lr_end: float, gamma: float, phase: int,
+                    cfg: GAConfig):
+    """One optimization phase, chunked into short device kernels (see
+    `_optimize_chunk`). Returns (params, final_loss)."""
+    opt_state = _phase_opt(cfg, niter, lr_base, lr_end).init(params)
+    stopped = jnp.asarray(False)
+    loss = jnp.asarray(jnp.inf, jnp.float32)
+    ch = max(int(cfg.jit_chunk), 1)
+    done = 0
+    while done < niter:
+        n = min(ch, niter - done)
+        params, opt_state, loss, stopped = _optimize_chunk(
+            params, opt_state, stopped, loss, state,
+            jnp.asarray(done, jnp.int32), niter, n, lr_base, lr_end,
+            gamma, phase, cfg)
+        # host sync: keeps every dispatched kernel short (axon watchdog)
+        jax.block_until_ready(loss)
+        done += n
+    return params, loss
 
 
 class GAResult(NamedTuple):

@@ -143,6 +143,12 @@ class GAConfig:
     shared_intrinsics: bool = False
     adam_b1: float = 0.9
     adam_b2: float = 0.9            # reference uses betas=(0.9, 0.9) (:373)
+    # GA phases run as chunks of this many steps per device kernel with a
+    # host sync between chunks: long single kernels are killed by the TPU
+    # runtime watchdog, and the chunk boundary is a progress/interrupt
+    # point. Chunked == unchunked bit-for-bit (Adam state, absolute-step
+    # schedules, and the NaN-freeze flag thread through).
+    jit_chunk: int = 50
     lr_end: float = 0.0
     depth_mode: str = "add"
     # post-GA Levenberg–Marquardt refinement of absolute poses (+focal)

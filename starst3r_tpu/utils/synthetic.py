@@ -16,7 +16,7 @@ import numpy as np
 from ..alignment.condense import CondensedData
 from ..ops.matching import subsample_grid_indices
 
-__all__ = ("synthetic_ga_scene",)
+__all__ = ("synthetic_ga_scene", "synthetic_image_scene")
 
 
 def _look_at_poses(n):
@@ -147,3 +147,55 @@ def synthetic_ga_scene(n_cams: int = 4, hw: int = 128, focal: float = 180.0,
     )
     mst = (0, [(i, i + 1) for i in range(n_cams - 1)])
     return data, mst, gt, K
+
+
+def _sphere_texture(p: np.ndarray) -> np.ndarray:
+    """Smooth RGB texture over 3D surface points p (..., 3) -> [0,1]."""
+    freq = np.array([[2.1, 0.7, 1.3], [0.5, 2.7, 1.1], [1.7, 1.2, 2.3]])
+    phase = np.array([0.0, 1.9, 4.2])
+    return 0.5 + 0.45 * np.sin(p @ freq.T + phase)
+
+
+def synthetic_image_scene(n_cams: int = 6, hw: int = 128,
+                          focal: float = 180.0, subsample: int = 2):
+    """Planted scene WITH ground-truth images — the end-to-end image-space
+    quality gate (VERDICT r3 #7; BASELINE.md "novel-view PSNR").
+
+    Renders each camera's view of the textured sphere analytically
+    (per-pixel ray-sphere intersection; background = black, matching an
+    empty splat render), alongside the exact (snap-free) condensed GA data
+    of the same scene. A full geometry+splat pipeline — GA recovers poses
+    and core points, 3DGS trains against the images on the RECOVERED poses
+    — must reproduce a held-out camera's image to high PSNR; the network is
+    deliberately bypassed so the gate measures the framework, not a
+    random-init checkpoint (reference de-facto spec: main.py:46-88).
+
+    Returns (data, mst, gt_c2w, K, images (C,H,W,3) float [0,1]).
+    """
+    data, mst, gt, K = synthetic_ga_scene(
+        n_cams=n_cams, hw=hw, focal=focal, subsample=subsample,
+        snap_free=True)
+    h = w = hw
+    sph_c = np.array([0.0, 0.0, 4.0])
+    sph_r = 2.0
+    u, v = np.meshgrid(np.arange(w) + 0.5, np.arange(h) + 0.5)
+    pix = np.stack([u.ravel(), v.ravel()], -1)
+    images = np.zeros((n_cams, h, w, 3), np.float32)
+    for i in range(n_cams):
+        d_cam = np.stack([(pix[:, 0] - K[0, 2]) / K[0, 0],
+                          (pix[:, 1] - K[1, 2]) / K[1, 1],
+                          np.ones(len(pix))], -1)
+        d_w = d_cam @ gt[i][:3, :3].T
+        o = gt[i][:3, 3]
+        oc = o - sph_c
+        b = (d_w * oc).sum(-1)
+        cterm = (oc * oc).sum() - sph_r ** 2
+        a = (d_w * d_w).sum(-1)
+        disc = b * b - a * cterm
+        hit = disc > 0
+        t = (-b - np.sqrt(np.maximum(disc, 0.0))) / a
+        surf = o + d_w * t[:, None]
+        col = np.clip(_sphere_texture(surf), 0.0, 1.0)
+        img = np.where(hit[:, None] & (t[:, None] > 0.1), col, 0.0)
+        images[i] = img.reshape(h, w, 3).astype(np.float32)
+    return data, mst, gt, K, images

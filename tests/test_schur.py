@@ -17,11 +17,9 @@ def _rotz(a):
                      [0, 0, 1]], np.float32)
 
 
-@pytest.fixture
-def synthetic_seq(rng):
-    """50-keyframe sequence with per-camera core-grid sections (same
+def _make_seq(rng, c=50, npts=16, window=3, f=100.0):
+    """c-keyframe sequence with per-camera core-grid sections (same
     construction as test_lm's synthetic_ba but windowed pairs)."""
-    c, npts, window, f = 50, 16, 3, 100.0
     pps = np.full((c, 2), 64.0, np.float32)
     cam2w = np.tile(np.eye(4, dtype=np.float32)[None], (c, 1, 1))
     for i in range(c):
@@ -56,6 +54,11 @@ def synthetic_seq(rng):
     return dict(cam2w=cam2w, focals=np.full((c,), f, np.float32), pps=pps,
                 depths=depths, core_pix=core_pix, tracks=tracks,
                 c=c, npts=npts, window=window)
+
+
+@pytest.fixture
+def synthetic_seq(rng):
+    return _make_seq(rng)
 
 
 def test_build_tracks_merges_transitively(synthetic_seq):
@@ -95,6 +98,22 @@ def test_schur_recovers_50_keyframes(synthetic_seq, rng):
     r_err = np.linalg.norm(out[:, :3, :3] - d["cam2w"][:, :3, :3],
                            axis=(1, 2))
     assert r_err.max() < 2e-2, r_err.max()
+
+
+def test_schur_200_keyframes_sharded(rng):
+    """BASELINE config 5: 200-keyframe windowed sequence refined with the
+    track reduction SHARDED over the 8-device mesh (keyframe-block
+    partitioning; VERDICT r3 #3). The scatter-free one-hot/V^T V reduction
+    must both converge and recover the planted trajectory."""
+    d = _make_seq(rng, c=200, npts=16, window=3)
+    noisy = _perturb(d["cam2w"], rng, rot=0.01, tr=0.03)
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    out, _, costs = schur_refine(
+        noisy, d["focals"], d["pps"], d["depths"], d["core_pix"],
+        d["tracks"], iters=25, opt_focal=False, mesh=mesh)
+    assert costs[-1] < 1e-3 * costs[0], (costs[0], costs[-1])
+    t_err = np.linalg.norm(out[:, :3, 3] - d["cam2w"][:, :3, 3], axis=1)
+    assert t_err.max() < 3e-2, t_err.max()
 
 
 def test_schur_sharded_matches_single(synthetic_seq, rng):
