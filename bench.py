@@ -25,9 +25,19 @@ ratio against the previous recorded run of this harness (BENCH_LOCAL.json),
 import dataclasses
 import json
 import os
+import sys
 import time
+import traceback
 
 import numpy as np
+
+
+def _mark(aux: dict, name: str):
+    """Stage progress marker: stderr timestamp (stdout carries only the
+    JSON line) + `aux['last_stage']` so a crash report names the stage."""
+    aux["last_stage"] = name
+    print(f"[bench] {name} @ {time.strftime('%H:%M:%S')}",
+          file=sys.stderr, flush=True)
 
 # steady-state binning reuse measured in aux as the headline operating
 # point (gradients stay exact; tile assignment ages <= REBIN-1 steps —
@@ -119,6 +129,7 @@ def main():
     aux = {"device": str(jax.devices()[0]), "peaks": dict(peaks)}
 
     # ---------------- 3DGS training throughput (224², 50k, 8 cams) --------
+    _mark(aux, "splat_headline")
     n_g = 50_000
     n_cams, h, w = 8, 224, 224
     pts = rng.normal(size=(n_g, 3)).astype(np.float32) * 0.5
@@ -224,6 +235,7 @@ def main():
     aux["n_cameras"] = n_cams
 
     # ---------------- render-only fps (novel-view path, incl. binning) ----
+    _mark(aux, "render_fps")
     params = holder["state"].params
 
     def render_once(carry):
@@ -236,6 +248,7 @@ def main():
     aux["render_fps_224"] = round(n_cams / dt_render, 1)
 
     # ---------------- pairwise ViT inference throughput + MFU -------------
+    _mark(aux, "vit_224")
     mcfg = ModelConfig.base()
     model = Mast3rModel.init_random(mcfg, image_hw=(224, 224))
     b = 16   # large pair batch: 196-token GEMMs need >=3k rows to fill MXU
@@ -257,143 +270,157 @@ def main():
         aux["vit_flops_note"] = ("trunk only (enc+interleaved dec), heads "
                                  "excluded -> MFU is a lower bound")
 
-    # ---------------- quality: GA ATE/RPE on planted scenes ---------------
-    from starst3r_tpu.alignment.ga import run_global_alignment
-    from starst3r_tpu.utils.eval import ate_rmse, rpe_rotation_deg
-    from starst3r_tpu.utils.synthetic import (synthetic_ga_scene,
-                                              synthetic_image_scene)
+    # Aux quality/scale stages run the device hard; on the axon
+    # tunnel a long kernel can be killed with a TPU device error
+    # that leaves the worker unhealthy, so on the FIRST fault we
+    # stop device work, record the failed stage, and still print
+    # the headline record with every aux block gathered so far.
+    try:
+        # ---------------- quality: GA ATE/RPE on planted scenes ---------------
+        _mark(aux, "ga_quality")
+        from starst3r_tpu.alignment.ga import run_global_alignment
+        from starst3r_tpu.utils.eval import ate_rmse, rpe_rotation_deg
+        from starst3r_tpu.utils.synthetic import (synthetic_ga_scene,
+                                                  synthetic_image_scene)
 
-    data, mst, gt_poses, _ = synthetic_ga_scene(n_cams=4, hw=128,
-                                                subsample=4)
-    result, _ = run_global_alignment(data, mst,
-                                     GAConfig(niter1=300, niter2=120))
-    pred = np.asarray(result.cam2w)
-    traj_scale = float(np.linalg.norm(
-        gt_poses[:, :3, 3] - gt_poses[:, :3, 3].mean(0), axis=1).max())
-    aux["ga_ate"] = round(float(ate_rmse(pred, gt_poses)), 5)
-    aux["ga_ate_frac_of_traj"] = round(aux["ga_ate"] / traj_scale, 4)
-    aux["ga_rpe_rot_deg"] = round(
-        float(rpe_rotation_deg(pred, gt_poses)), 3)
+        data, mst, gt_poses, _ = synthetic_ga_scene(n_cams=4, hw=128,
+                                                    subsample=4)
+        result, _ = run_global_alignment(data, mst,
+                                         GAConfig(niter1=300, niter2=120))
+        pred = np.asarray(result.cam2w)
+        traj_scale = float(np.linalg.norm(
+            gt_poses[:, :3, 3] - gt_poses[:, :3, 3].mean(0), axis=1).max())
+        aux["ga_ate"] = round(float(ate_rmse(pred, gt_poses)), 5)
+        aux["ga_ate_frac_of_traj"] = round(aux["ga_ate"] / traj_scale, 4)
+        aux["ga_rpe_rot_deg"] = round(
+            float(rpe_rotation_deg(pred, gt_poses)), 3)
 
-    # snap-free variant: exact continuous correspondences — the optimizer
-    # bound itself (tests/test_ga_groundtruth.py reasoning; VERDICT r3 #5)
-    sdata, smst, sgt, _ = synthetic_ga_scene(n_cams=4, hw=128, subsample=4,
-                                             snap_free=True)
-    sres, _ = run_global_alignment(
-        sdata, smst, GAConfig(niter1=500, niter2=200, lr2=0.004))
-    s_ate = float(ate_rmse(np.asarray(sres.cam2w), sgt))
-    s_scale = float(np.linalg.norm(
-        sgt[:, :3, 3] - sgt[:, :3, 3].mean(0), axis=1).max())
-    aux["ga_ate_frac_snap_free"] = round(s_ate / s_scale, 6)
+        # snap-free variant: exact continuous correspondences — the optimizer
+        # bound itself (tests/test_ga_groundtruth.py reasoning; VERDICT r3 #5)
+        sdata, smst, sgt, _ = synthetic_ga_scene(n_cams=4, hw=128, subsample=4,
+                                                 snap_free=True)
+        sres, _ = run_global_alignment(
+            sdata, smst, GAConfig(niter1=500, niter2=200, lr2=0.004))
+        s_ate = float(ate_rmse(np.asarray(sres.cam2w), sgt))
+        s_scale = float(np.linalg.norm(
+            sgt[:, :3, 3] - sgt[:, :3, 3].mean(0), axis=1).max())
+        aux["ga_ate_frac_snap_free"] = round(s_ate / s_scale, 6)
 
-    # ---------------- quality: splat optimization PSNR (splat-fits-splat) -
-    qcfg = dataclasses.replace(cfg, init_scale=2e-2)
-    tgt_pts = rng.normal(size=(4000, 3)).astype(np.float32) * 0.4
-    tgt_pts[:, 2] += 3.0
-    tgt_cols = rng.uniform(size=(4000, 3)).astype(np.float32)
-    tgt_state = init_gaussians(tgt_pts, tgt_cols, qcfg, seed=1)
-    tgt_gt = jnp.clip(render(tgt_state.params, w2c, K, w, h, qcfg)[0],
-                      0.0, 1.0)
-    opt_state = init_gaussians(
-        tgt_pts + rng.normal(size=tgt_pts.shape).astype(np.float32) * 0.05,
-        rng.uniform(size=(4000, 3)).astype(np.float32), qcfg, seed=2)
-    rgb0 = jnp.clip(render(opt_state.params, w2c, K, w, h, qcfg)[0], 0, 1)
-    psnr0 = float(np.mean([psnr_fn(tgt_gt[i], rgb0[i])
-                           for i in range(n_cams)]))
-    opt_state, _ = run_optim(opt_state, np.asarray(tgt_gt), np.asarray(w2c),
-                             np.asarray(K), 150, qcfg)
-    rgb_opt = jnp.clip(render(opt_state.params, w2c, K, w, h, qcfg)[0],
-                       0, 1)
-    aux["splat_psnr_150_iters"] = round(float(np.mean(
-        [psnr_fn(tgt_gt[i], rgb_opt[i]) for i in range(n_cams)])), 2)
-    aux["splat_psnr_init"] = round(psnr0, 2)
+        # ---------------- quality: splat optimization PSNR (splat-fits-splat) -
+        _mark(aux, "splat_psnr")
+        qcfg = dataclasses.replace(cfg, init_scale=2e-2)
+        tgt_pts = rng.normal(size=(4000, 3)).astype(np.float32) * 0.4
+        tgt_pts[:, 2] += 3.0
+        tgt_cols = rng.uniform(size=(4000, 3)).astype(np.float32)
+        tgt_state = init_gaussians(tgt_pts, tgt_cols, qcfg, seed=1)
+        tgt_gt = jnp.clip(render(tgt_state.params, w2c, K, w, h, qcfg)[0],
+                          0.0, 1.0)
+        opt_state = init_gaussians(
+            tgt_pts + rng.normal(size=tgt_pts.shape).astype(np.float32) * 0.05,
+            rng.uniform(size=(4000, 3)).astype(np.float32), qcfg, seed=2)
+        rgb0 = jnp.clip(render(opt_state.params, w2c, K, w, h, qcfg)[0], 0, 1)
+        psnr0 = float(np.mean([psnr_fn(tgt_gt[i], rgb0[i])
+                               for i in range(n_cams)]))
+        opt_state, _ = run_optim(opt_state, np.asarray(tgt_gt), np.asarray(w2c),
+                                 np.asarray(K), 150, qcfg)
+        rgb_opt = jnp.clip(render(opt_state.params, w2c, K, w, h, qcfg)[0],
+                           0, 1)
+        aux["splat_psnr_150_iters"] = round(float(np.mean(
+            [psnr_fn(tgt_gt[i], rgb_opt[i]) for i in range(n_cams)])), 2)
+        aux["splat_psnr_init"] = round(psnr0, 2)
 
-    # ---------------- end-to-end image-space quality (VERDICT r3 #7) ------
-    # GA on exact synthetic data recovers poses + core points; 3DGS trains
-    # against the rendered images ON THE RECOVERED poses; PSNR at a
-    # held-out middle camera (its image never enters the splat loss and its
-    # points/colors never seed the Gaussians).
-    edata, emst, _egt, _eK, eimgs = synthetic_image_scene(
-        n_cams=6, hw=128, subsample=2)
-    eres, _ = run_global_alignment(
-        edata, emst, GAConfig(niter1=500, niter2=200, lr2=0.004))
-    hold = 3
-    train_cams = [i for i in range(6) if i != hold]
-    core_pix = np.asarray(edata.core_pix).astype(np.int64)   # (S, 2) u,v
-    e_pts = np.asarray(eres.pts3d)[train_cams].reshape(-1, 3)
-    e_cols = np.stack([eimgs[i][core_pix[:, 1], core_pix[:, 0]]
-                       for i in train_cams]).reshape(-1, 3)
-    # init scale ~ core-grid spacing in world units: depth*sub/focal
-    ecfg = dataclasses.replace(cfg, init_scale=0.045, pool_headroom=0.0)
-    est = init_gaussians(e_pts, e_cols, ecfg)
-    ew2c = np.asarray(eres.w2c)
-    eKs = np.asarray(eres.K)
-    e_rgb0 = jnp.clip(render(est.params, ew2c[hold:hold + 1],
-                             eKs[hold:hold + 1], 128, 128, ecfg)[0][0],
-                      0, 1)
-    e_psnr0 = float(psnr_fn(jnp.asarray(eimgs[hold]), e_rgb0))
-    est, _ = run_optim(est, eimgs[train_cams], ew2c[train_cams],
-                       eKs[train_cams], 300, ecfg)
-    e_rgb = jnp.clip(render(est.params, ew2c[hold:hold + 1],
-                            eKs[hold:hold + 1], 128, 128, ecfg,
-                            n_alive=est.n_alive)[0][0], 0, 1)
-    aux["e2e_psnr"] = round(float(psnr_fn(jnp.asarray(eimgs[hold]),
-                                          e_rgb)), 2)
-    aux["e2e_psnr_init"] = round(e_psnr0, 2)
+        # ---------------- end-to-end image-space quality (VERDICT r3 #7) ------
+        _mark(aux, "e2e_quality")
+        # GA on exact synthetic data recovers poses + core points; 3DGS trains
+        # against the rendered images ON THE RECOVERED poses; PSNR at a
+        # held-out middle camera (its image never enters the splat loss and its
+        # points/colors never seed the Gaussians).
+        edata, emst, _egt, _eK, eimgs = synthetic_image_scene(
+            n_cams=6, hw=128, subsample=2)
+        eres, _ = run_global_alignment(
+            edata, emst, GAConfig(niter1=500, niter2=200, lr2=0.004))
+        hold = 3
+        train_cams = [i for i in range(6) if i != hold]
+        core_pix = np.asarray(edata.core_pix).astype(np.int64)   # (S, 2) u,v
+        e_pts = np.asarray(eres.pts3d)[train_cams].reshape(-1, 3)
+        e_cols = np.stack([eimgs[i][core_pix[:, 1], core_pix[:, 0]]
+                           for i in train_cams]).reshape(-1, 3)
+        # init scale ~ core-grid spacing in world units: depth*sub/focal
+        ecfg = dataclasses.replace(cfg, init_scale=0.045, pool_headroom=0.0)
+        est = init_gaussians(e_pts, e_cols, ecfg)
+        ew2c = np.asarray(eres.w2c)
+        eKs = np.asarray(eres.K)
+        e_rgb0 = jnp.clip(render(est.params, ew2c[hold:hold + 1],
+                                 eKs[hold:hold + 1], 128, 128, ecfg)[0][0],
+                          0, 1)
+        e_psnr0 = float(psnr_fn(jnp.asarray(eimgs[hold]), e_rgb0))
+        est, _ = run_optim(est, eimgs[train_cams], ew2c[train_cams],
+                           eKs[train_cams], 300, ecfg)
+        e_rgb = jnp.clip(render(est.params, ew2c[hold:hold + 1],
+                                eKs[hold:hold + 1], 128, 128, ecfg,
+                                n_alive=est.n_alive)[0][0], 0, 1)
+        aux["e2e_psnr"] = round(float(psnr_fn(jnp.asarray(eimgs[hold]),
+                                              e_rgb)), 2)
+        aux["e2e_psnr_init"] = round(e_psnr0, 2)
 
-    # ---------------- 512-px operating block (VERDICT r3 #8) --------------
-    res512 = {}
-    model512 = Mast3rModel.init_random(mcfg, image_hw=(512, 512))
-    b512 = 4
-    img512 = jnp.asarray(rng.uniform(-1, 1, size=(b512, 512, 512, 3))
-                         .astype(np.float32))
+        # ---------------- 512-px operating block (VERDICT r3 #8) --------------
+        _mark(aux, "res512")
+        res512 = {}
+        model512 = Mast3rModel.init_random(mcfg, image_hw=(512, 512))
+        b512 = 4
+        img512 = jnp.asarray(rng.uniform(-1, 1, size=(b512, 512, 512, 3))
+                             .astype(np.float32))
 
-    def infer512(carry):
-        x = img512 + carry * 1e-20
-        return model512.infer_pair_batch(x, x)["pts1"].sum()
+        def infer512(carry):
+            x = img512 + carry * 1e-20
+            return model512.infer_pair_batch(x, x)["pts1"].sum()
 
-    dt512 = _timeit(infer512, warmup=1, iters=3)
-    res512["vit_base_pairs_per_s"] = round(b512 / dt512, 2)
-    if peaks["peak_bf16_flops"]:
-        tok512 = (512 // mcfg.patch_size) ** 2
-        res512["vit_mfu"] = round(
-            _vit_pair_flops(mcfg, tok512) * b512 / dt512
-            / peaks["peak_bf16_flops"], 3)
+        dt512 = _timeit(infer512, warmup=1, iters=3)
+        res512["vit_base_pairs_per_s"] = round(b512 / dt512, 2)
+        if peaks["peak_bf16_flops"]:
+            tok512 = (512 // mcfg.patch_size) ** 2
+            res512["vit_mfu"] = round(
+                _vit_pair_flops(mcfg, tok512) * b512 / dt512
+                / peaks["peak_bf16_flops"], 3)
 
-    h5 = w5 = 512
-    c5 = 4
-    gt5 = jnp.asarray(rng.uniform(size=(c5, h5, w5, 3)).astype(np.float32))
-    w2c5 = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (c5, 1, 1))
-    K5 = jnp.tile(jnp.array([[460.0, 0, w5 / 2], [0, 460.0, h5 / 2],
-                             [0, 0, 1]], jnp.float32)[None], (c5, 1, 1))
-    st5 = init_gaussians(pts, cols, cfg)
-    scfg5 = _autobudget_cfg(st5, w2c5, K5, w5, h5, cfg)
-    bins5 = compute_bins(st5.params, w2c5, K5, w5, h5, scfg5,
-                         n_alive=st5.n_alive)
-    holder5 = {"state": st5}
+        h5 = w5 = 512
+        c5 = 4
+        gt5 = jnp.asarray(rng.uniform(size=(c5, h5, w5, 3)).astype(np.float32))
+        w2c5 = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (c5, 1, 1))
+        K5 = jnp.tile(jnp.array([[460.0, 0, w5 / 2], [0, 460.0, h5 / 2],
+                                 [0, 0, 1]], jnp.float32)[None], (c5, 1, 1))
+        st5 = init_gaussians(pts, cols, cfg)
+        scfg5 = _autobudget_cfg(st5, w2c5, K5, w5, h5, cfg)
+        bins5 = compute_bins(st5.params, w2c5, K5, w5, h5, scfg5,
+                             n_alive=st5.n_alive)
+        holder5 = {"state": st5}
 
-    def step5(carry):
-        s, loss = train_step(holder5["state"], gt5 + carry * 1e-20, w2c5,
-                             K5, w5, h5, scfg5, c5, bins=bins5)
-        holder5["state"] = s
-        return loss
+        def step5(carry):
+            s, loss = train_step(holder5["state"], gt5 + carry * 1e-20, w2c5,
+                                 K5, w5, h5, scfg5, c5, bins=bins5)
+            holder5["state"] = s
+            return loss
 
-    def bin5(carry):
-        bb = compute_bins(
-            {**holder5["state"].params,
-             "means": holder5["state"].params["means"] + carry * 1e-20},
-            w2c5, K5, w5, h5, scfg5, n_alive=holder5["state"].n_alive)
-        return bb.counts.sum().astype(jnp.float32)
+        def bin5(carry):
+            bb = compute_bins(
+                {**holder5["state"].params,
+                 "means": holder5["state"].params["means"] + carry * 1e-20},
+                w2c5, K5, w5, h5, scfg5, n_alive=holder5["state"].n_alive)
+            return bb.counts.sum().astype(jnp.float32)
 
-    dt_step5 = _timeit(step5, warmup=2, iters=5)
-    dt_bin5 = _timeit(bin5, warmup=2, iters=5)
-    res512["splat_step_ms"] = round(
-        (dt_step5 + dt_bin5 / REBIN) * 1e3, 2)
-    res512["splat_tiles"] = (-(-w5 // cfg.tile_size)) ** 2
-    res512["splat_budget"] = {
-        "max_tiles_per_gaussian": scfg5.max_tiles_per_gaussian,
-        "max_per_tile": scfg5.max_per_tile}
-    aux["res512"] = res512
+        dt_step5 = _timeit(step5, warmup=2, iters=5)
+        dt_bin5 = _timeit(bin5, warmup=2, iters=5)
+        res512["splat_step_ms"] = round(
+            (dt_step5 + dt_bin5 / REBIN) * 1e3, 2)
+        res512["splat_tiles"] = (-(-w5 // cfg.tile_size)) ** 2
+        res512["splat_budget"] = {
+            "max_tiles_per_gaussian": scfg5.max_tiles_per_gaussian,
+            "max_per_tile": scfg5.max_per_tile}
+        aux["res512"] = res512
+    except Exception as e:  # noqa: BLE001 — deliberate fail-soft
+        traceback.print_exc()
+        aux["aux_error"] = repr(e)[:300]
+        aux["aux_error_stage"] = aux.get("last_stage", "?")
 
     # ---------------- record ----------------------------------------------
     prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -301,8 +301,12 @@ def run_optim(state: GSState, gt_images: np.ndarray, w2c: np.ndarray,
     w2c_j = jnp.asarray(w2c, jnp.float32)
     ks_j = jnp.asarray(Ks, jnp.float32)
     cb = cfg.camera_batch if 0 < cfg.camera_batch < c else 0
-    cam_rng = np.random.default_rng(int(jax.device_get(state.step)) + 1)
-    losses: List[float] = []
+    step0 = int(jax.device_get(state.step))
+    cam_rng = np.random.default_rng(step0 + 1)
+    # losses stay ON DEVICE until the end: a float() per step would block
+    # the host on every dispatch and serialize the pipeline (the TPU can
+    # otherwise run several queued steps ahead of the host)
+    losses_dev: List[jnp.ndarray] = []
     trace_ctx = trace_if("splat_optim")
     trace_ctx.__enter__()
     trace_open = True
@@ -353,17 +357,18 @@ def run_optim(state: GSState, gt_images: np.ndarray, w2c: np.ndarray,
             state, loss = train_step(state, gt, w2c_j, ks_j, w, h, scfg, c,
                                      bins=bins)
         if enable_pruning:
-            step = int(state.step)
+            step = step0 + it + 1   # == int(state.step), tracked host-side
             do_refine = (step >= mcfg.refine_start
                          and step < mcfg.refine_stop
                          and step % mcfg.refine_every == 0)
             state = _mcmc_post_step(state, cfg.lr, cfg, mcfg, do_refine)
             if do_refine:
                 bins = None   # relocated Gaussians jump: force a rebin
-        losses.append(float(loss))
+        losses_dev.append(loss)
         if verbose and (it % 50 == 0 or it == iters - 1):
-            print(f"[3dgs] step {int(state.step)} loss={losses[-1]:.4f} "
-                  f"alive={int(state.n_alive)}")
+            print(f"[3dgs] step {step0 + it + 1} "
+                  f"loss={float(loss):.4f} alive={int(state.n_alive)}")
     if trace_open:
         trace_ctx.__exit__(None, None, None)
+    losses = [float(x) for x in jax.device_get(losses_dev)]
     return state, losses
