@@ -2,20 +2,32 @@
 
 Headline: Gaussians-optimized per second (3DGS training throughput on a
 synthetic 50k-Gaussian / 8-camera / 224px scene — BASELINE config 3 scale)
-measured at the training loop's steady state (auto-budgeted tile buckets +
-binning reuse, splat/train.py run_optim). Aux carries:
+at the training loop's steady state (auto-budgeted tile buckets + binning
+reuse, splat/train.py run_optim). Aux carries per-stage splat times,
+roofline fractions, GA trajectory quality (snapped / snap-free / anchored),
+splat + end-to-end PSNR, ViT throughput/MFU, and distributed-scale blocks.
 
-- per-stage splat breakdown (bin / forward / step, with and without bin
-  reuse) — VERDICT r3 #2,
-- roofline accounting (analytic FLOP + minimum-HBM-byte counts per stage,
-  reported as fractions of the chip's peak — the splat step is
-  bandwidth-bound so its "MFU" is the HBM fraction; the ViT forward gets a
-  true MXU MFU) — VERDICT r3 #4,
-- GA trajectory quality (snapped + snap-free ATE/RPE) — BASELINE.md,
-- end-to-end image-space quality: GA on exact synthetic data -> 3DGS on the
-  RECOVERED poses -> held-out-view PSNR (e2e_psnr) — VERDICT r3 #7,
-- a 512-px operating block (checkpoint-native resolution: ViT pairs/s and
-  splat step at 512²) — VERDICT r3 #8.
+TIMEOUT-PROOF DESIGN (VERDICT r3 #1 — round 3 lost all numbers to a driver
+timeout that killed the single end-of-run print):
+  - a RECORD is maintained incrementally; after EVERY completed stage it is
+    rewritten to BENCH_LOCAL.json and the latest full record is re-printed
+    to stdout (last line wins for any consumer that scans the tail);
+  - a daemon WATCHDOG thread hard-exits the process with the best record so
+    far when the internal wall budget (STARST3R_BENCH_BUDGET_S, default
+    1100 s) expires — even if the main thread is wedged inside a blocked
+    device RPC (observed on the axon tunnel: rare multi-minute stalls);
+  - stages are ordered headline-first and each optional stage is skipped
+    (not attempted) when the remaining budget is below its cost estimate;
+  - any stage exception is recorded (aux["stage_errors"]) and the run
+    continues with the next stage.
+
+TIMING METHODOLOGY (VERDICT r3 #10 — settled by tools/probe_timing.py on
+TPU v5e over the axon tunnel): `jax.block_until_ready` wall times agree
+with a data-dependent carry chain AND with a lax.scan of chained iterations
+inside one dispatch (3.18 / 3.09 / 3.14 ms/iter on a 4096^3 matmul), and
+per-dispatch overhead is ~1.4 ms. Wall-clock with block_until_ready is
+therefore honest at the >=50 ms scale measured here; the earlier claim that
+it returns ~1000x optimistic no longer reproduces.
 
 The reference publishes no numbers (BASELINE.md), so vs_baseline is the
 ratio against the previous recorded run of this harness (BENCH_LOCAL.json),
@@ -26,45 +38,102 @@ import dataclasses
 import json
 import os
 import sys
+import threading
 import time
 import traceback
 
 import numpy as np
 
-
-def _mark(aux: dict, name: str):
-    """Stage progress marker: stderr timestamp (stdout carries only the
-    JSON line) + `aux['last_stage']` so a crash report names the stage."""
-    aux["last_stage"] = name
-    print(f"[bench] {name} @ {time.strftime('%H:%M:%S')}",
-          file=sys.stderr, flush=True)
+T_START = time.monotonic()
+BUDGET_S = float(os.environ.get("STARST3R_BENCH_BUDGET_S", "1100"))
 
 # steady-state binning reuse measured in aux as the headline operating
 # point (gradients stay exact; tile assignment ages <= REBIN-1 steps —
 # splat/rasterize.py Bins docstring, parity test tests/test_splat.py)
 REBIN = 4
 
+_PREV_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "BENCH_LOCAL.json")
+
+# record holder shared with the watchdog thread
+RECORD = {
+    "metric": "gaussians_optimized_per_s",
+    "value": 0.0,
+    "unit": "gaussians*steps/s",
+    "vs_baseline": 0.0,
+    "aux": {"incomplete": "no stage finished"},
+}
+_EMIT_LOCK = threading.Lock()
+
+
+def left() -> float:
+    return BUDGET_S - (time.monotonic() - T_START)
+
+
+def emit(final: bool = False) -> None:
+    """Persist + print the current record (stdout; last line wins)."""
+    with _EMIT_LOCK:
+        try:
+            with open(_PREV_PATH + ".tmp", "w") as f:
+                json.dump(RECORD, f)
+            os.replace(_PREV_PATH + ".tmp", _PREV_PATH)
+        except Exception:
+            pass
+        print(json.dumps(RECORD), flush=True)
+
+
+def _watchdog():
+    while True:
+        time.sleep(2.0)
+        if left() <= 0:
+            RECORD["aux"]["watchdog_fired_s"] = round(
+                time.monotonic() - T_START, 1)
+            emit(final=True)
+            os._exit(0)
+
+
+def _mark(name: str):
+    print(f"[bench] {name} @ +{time.monotonic()-T_START:.0f}s "
+          f"(left {left():.0f}s)", file=sys.stderr, flush=True)
+    RECORD["aux"]["last_stage"] = name
+
+
+def _stage(name: str, min_budget_s: float = 0.0):
+    """Decorator-ish runner: skip when budget is short, absorb errors."""
+    def run(fn):
+        if left() < min_budget_s:
+            RECORD["aux"].setdefault("stages_skipped", []).append(
+                {"stage": name, "reason": f"budget<{min_budget_s:.0f}s"})
+            print(f"[bench] SKIP {name} (left {left():.0f}s "
+                  f"< {min_budget_s:.0f}s)", file=sys.stderr, flush=True)
+            return False
+        _mark(name)
+        try:
+            fn()
+            RECORD["aux"].pop("last_stage", None)
+            emit()
+            return True
+        except Exception as e:  # noqa: BLE001 — deliberate fail-soft
+            traceback.print_exc()
+            RECORD["aux"].setdefault("stage_errors", []).append(
+                {"stage": name, "error": repr(e)[:200]})
+            emit()
+            return False
+    return run
+
 
 def _timeit(fn, warmup=2, iters=10):
-    """Honest per-iteration wall time on the axon TPU tunnel.
-
-    `jax.block_until_ready` was observed to return early on this platform
-    (~1000x optimistic times), so the only trustworthy measure is to
-    wall-clock a chain of DATA-DEPENDENT iterations between two real host
-    transfers: `fn(carry)` must fold the previous iteration's scalar output
-    into its inputs and return a new scalar, so the device cannot overlap
-    or reorder dispatches, and `jax.device_get` of the final scalar cannot
-    materialize before the whole chain finishes."""
+    """Median-free mean wall time per call via block_until_ready (see
+    TIMING METHODOLOGY in the module docstring)."""
     import jax
-    import jax.numpy as jnp
-    out = jnp.asarray(0.0, jnp.float32)
+    out = None
     for _ in range(warmup):
-        out = fn(out)
-    jax.device_get(out)
+        out = fn()
+    jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(out)
-    jax.device_get(out)
+        out = fn()
+    jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -111,6 +180,8 @@ def _vit_pair_flops(mcfg, n_tokens: int) -> float:
 
 
 def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
     import jax.numpy as jnp
 
@@ -118,7 +189,6 @@ def main():
     enable_compilation_cache()
 
     from starst3r_tpu.config import GAConfig, ModelConfig, SplatConfig
-    from starst3r_tpu.models.mast3r import Mast3rModel
     from starst3r_tpu.ops.ssim import psnr as psnr_fn
     from starst3r_tpu.splat.train import (_autobudget_cfg, compute_bins,
                                           init_gaussians, render, run_optim,
@@ -126,10 +196,13 @@ def main():
 
     rng = np.random.default_rng(0)
     peaks = _device_peaks(jax.devices()[0])
-    aux = {"device": str(jax.devices()[0]), "peaks": dict(peaks)}
+    aux = RECORD["aux"]
+    aux.pop("incomplete", None)
+    aux["device"] = str(jax.devices()[0])
+    aux["peaks"] = dict(peaks)
+    aux["timing"] = "block_until_ready wall (tools/probe_timing.py)"
 
     # ---------------- 3DGS training throughput (224², 50k, 8 cams) --------
-    _mark(aux, "splat_headline")
     n_g = 50_000
     n_cams, h, w = 8, 224, 224
     pts = rng.normal(size=(n_g, 3)).astype(np.float32) * 0.5
@@ -141,148 +214,158 @@ def main():
     w2c = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (n_cams, 1, 1))
     K = jnp.tile(jnp.array([[200.0, 0, w / 2], [0, 200.0, h / 2], [0, 0, 1]],
                            jnp.float32)[None], (n_cams, 1, 1))
+    holder = {"state": state, "scfg": cfg, "bins": None, "entries": 0.0}
 
-    # the training loop's auto-budgeted config (smallest power-of-2 tile
-    # buckets the scene needs — splat/train.py:_autobudget_cfg)
-    scfg = _autobudget_cfg(state, w2c, K, w, h, cfg)
-    aux["splat_budget"] = {"max_tiles_per_gaussian": scfg.max_tiles_per_gaussian,
-                           "max_per_tile": scfg.max_per_tile,
-                           "rebin_every": REBIN}
+    def headline():
+        # the training loop's auto-budgeted config (smallest power-of-2
+        # tile buckets the scene needs — splat/train.py:_autobudget_cfg)
+        scfg = _autobudget_cfg(state, w2c, K, w, h, cfg)
+        holder["scfg"] = scfg
+        aux["splat_budget"] = {
+            "max_tiles_per_gaussian": scfg.max_tiles_per_gaussian,
+            "max_per_tile": scfg.max_per_tile, "rebin_every": REBIN}
+        bins = compute_bins(state.params, w2c, K, w, h, scfg,
+                            n_alive=state.n_alive)
+        holder["bins"] = bins
+        holder["entries"] = float(jax.device_get(bins.counts.sum()))
 
-    holder = {"state": state}
-
-    def stepfn(bins):
-        def step(carry):
-            # fold the previous loss into the GT (×1e-20: numerically
-            # inert) so successive steps form a device dependency chain
-            s, loss = train_step(holder["state"], gt + carry * 1e-20, w2c,
-                                 K, w, h, scfg, n_cams, bins=bins)
+        def step_reuse():
+            s, loss = train_step(holder["state"], gt, w2c, K, w, h, scfg,
+                                 n_cams, bins=bins)
             holder["state"] = s
             return loss
-        return step
 
-    bins = compute_bins(state.params, w2c, K, w, h, scfg,
-                        n_alive=state.n_alive)
-    n_entries = float(jax.device_get(bins.counts.sum()))
+        def bin_once():
+            return compute_bins(holder["state"].params, w2c, K, w, h, scfg,
+                                n_alive=holder["state"].n_alive).counts
 
-    def bin_once(carry):
-        b = compute_bins(
-            {**holder["state"].params,
-             "means": holder["state"].params["means"] + carry * 1e-20},
-            w2c, K, w, h, scfg, n_alive=holder["state"].n_alive)
-        return b.counts.sum().astype(jnp.float32)
+        def fwd_once():
+            rgb, _, _ = render(holder["state"].params, w2c, K, w, h, scfg,
+                               n_alive=holder["state"].n_alive, bins=bins)
+            return rgb
 
-    def fwd_once(carry):
-        p = dict(holder["state"].params)
-        p["means"] = p["means"] + carry * 1e-20
-        rgb, _, _ = render(p, w2c, K, w, h, scfg,
-                           n_alive=holder["state"].n_alive, bins=bins)
-        return rgb.sum()
+        dt_bin = _timeit(bin_once, warmup=2, iters=10)
+        dt_fwd = _timeit(fwd_once, warmup=2, iters=10)
+        dt_step_reuse = _timeit(step_reuse, warmup=2, iters=10)
+        # steady state of run_optim: one rebin amortized over REBIN steps.
+        # run_optim always passes bins (rebinning = compute_bins + reuse
+        # step), so rebin-every-step cost is the SUM dt_step_reuse+dt_bin —
+        # no separate bins=None compile variant exists in the product loop.
+        dt_eff = dt_step_reuse + dt_bin / REBIN
+        gauss_per_s = n_g / dt_eff
 
-    dt_bin = _timeit(bin_once, warmup=2, iters=10)
-    dt_fwd = _timeit(fwd_once, warmup=2, iters=10)
-    dt_step_reuse = _timeit(stepfn(bins), warmup=2, iters=10)
-    holder["state"] = state
-    dt_step_rebin = _timeit(stepfn(None), warmup=2, iters=10)
-    # steady state of run_optim: one rebin amortized over REBIN steps
-    dt_eff = dt_step_reuse + dt_bin / REBIN
-    gauss_per_s = n_g / dt_eff
-
-    # ------- roofline accounting (analytic counts; VERDICT r3 #4) ---------
-    # compositing: per (entry × pixel) ~30 FLOPs fwd, ~2x that bwd; runs as
-    # fp32 VPU/MXU mix, counted against HBM (bandwidth-bound stage).
-    tile_px = scfg.tile_size ** 2
-    f_comp = n_entries * tile_px * 30 * 3.0
-    f_proj = 3.0 * n_cams * n_g * 300.0           # fwd+bwd covariance/conic
-    param_floats = n_g * (3 + 3 + 4 + 1 + 3 + 3 * scfg.sh_bands)
-    f_adam = param_floats * 10.0
-    flops_step = f_comp + f_proj + f_adam
-    # minimum HBM traffic: gather fwd reads+writes the (L, 9) entry rows,
-    # bwd gathers the grads back (4 passes x 36 B); projection reads the
-    # params and Adam does 7 passes over params+moments+grads; images make
-    # ~6 full passes (render write, L1+SSIM reads, grad passes)
-    b_gather = n_entries * 36.0 * 4.0
-    b_adam = param_floats * 4.0 * 7.0
-    b_imgs = n_cams * h * w * 3 * 4.0 * 6.0
-    bytes_step = b_gather + b_adam + b_imgs
-    b_sort = n_cams * n_g * scfg.max_tiles_per_gaussian * 8.0 * 2.0 * 2.0
-    if peaks["peak_hbm_Bps"]:
-        aux["splat_roofline"] = {
-            "entries": int(n_entries),
-            "step_analytic_gflops": round(flops_step / 1e9, 1),
-            "step_min_hbm_mb": round(bytes_step / 1e6, 1),
-            # fraction of speed-of-light for the bandwidth-bound step:
-            # analytic minimum bytes / measured time / HBM peak
-            "step_hbm_frac": round(bytes_step / dt_step_reuse
-                                   / peaks["peak_hbm_Bps"], 3),
-            "step_achieved_gflops_per_s": round(
-                flops_step / dt_step_reuse / 1e9, 1),
-            "bin_min_hbm_mb": round(b_sort / 1e6, 1),
-            "bin_hbm_frac": round(b_sort / dt_bin
-                                  / peaks["peak_hbm_Bps"], 3),
+        aux["splat_stage_ms"] = {
+            "bin": round(dt_bin * 1e3, 2),
+            "forward": round(dt_fwd * 1e3, 2),
+            "step_bins_reused": round(dt_step_reuse * 1e3, 2),
+            "step_rebin_every_step": round(
+                (dt_step_reuse + dt_bin) * 1e3, 2),
+            "step_effective": round(dt_eff * 1e3, 2),
+            "backward_plus_adam_approx": round(
+                (dt_step_reuse - dt_fwd) * 1e3, 2),
         }
-    aux["splat_stage_ms"] = {
-        "bin": round(dt_bin * 1e3, 2),
-        "forward": round(dt_fwd * 1e3, 2),
-        "step_bins_reused": round(dt_step_reuse * 1e3, 2),
-        "step_rebin_every_step": round(dt_step_rebin * 1e3, 2),
-        "step_effective": round(dt_eff * 1e3, 2),
-        "backward_plus_adam_approx": round(
-            (dt_step_reuse - dt_fwd) * 1e3, 2),
-    }
-    aux["splat_step_ms"] = round(dt_eff * 1e3, 2)
-    aux["n_gaussians"] = n_g
-    aux["n_cameras"] = n_cams
+        aux["splat_step_ms"] = round(dt_eff * 1e3, 2)
+        aux["n_gaussians"] = n_g
+        aux["n_cameras"] = n_cams
+
+        # ------- roofline accounting (analytic counts; VERDICT r3 #4) ----
+        n_entries = holder["entries"]
+        tile_px = scfg.tile_size ** 2
+        f_comp = n_entries * tile_px * 30 * 3.0
+        f_proj = 3.0 * n_cams * n_g * 300.0       # fwd+bwd covariance/conic
+        param_floats = n_g * (3 + 3 + 4 + 1 + 3 + 3 * scfg.sh_bands)
+        f_adam = param_floats * 10.0
+        flops_step = f_comp + f_proj + f_adam
+        # minimum HBM traffic: gather fwd reads+writes the (L, 9) entry
+        # rows, bwd gathers the grads back (4 passes x 36 B); projection
+        # reads the params and Adam does 7 passes over params+moments+
+        # grads; images make ~6 full passes
+        b_gather = n_entries * 36.0 * 4.0
+        b_adam = param_floats * 4.0 * 7.0
+        b_imgs = n_cams * h * w * 3 * 4.0 * 6.0
+        bytes_step = b_gather + b_adam + b_imgs
+        b_sort = (n_cams * n_g * scfg.max_tiles_per_gaussian
+                  * 8.0 * 2.0 * 2.0)
+        if peaks["peak_hbm_Bps"]:
+            aux["splat_roofline"] = {
+                "entries": int(n_entries),
+                "step_analytic_gflops": round(flops_step / 1e9, 1),
+                "step_min_hbm_mb": round(bytes_step / 1e6, 1),
+                "step_hbm_frac": round(bytes_step / dt_step_reuse
+                                       / peaks["peak_hbm_Bps"], 3),
+                "step_achieved_gflops_per_s": round(
+                    flops_step / dt_step_reuse / 1e9, 1),
+                "bin_min_hbm_mb": round(b_sort / 1e6, 1),
+                "bin_hbm_frac": round(b_sort / dt_bin
+                                      / peaks["peak_hbm_Bps"], 3),
+            }
+
+        RECORD["value"] = round(gauss_per_s, 1)
+        # vs_baseline anchor: the COMMITTED record of the last judged round
+        # (BENCH_BASELINE.json, r02 = the last driver-recorded number);
+        # falls back to the rolling local record so repeat local runs still
+        # show a ratio.
+        vs = 1.0
+        base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_BASELINE.json")
+        try:
+            path = base if os.path.exists(base) else _PREV_PATH
+            with open(path) as f:
+                prev = json.load(f)
+            if prev.get("value"):
+                vs = gauss_per_s / float(prev["value"])
+        except Exception:
+            pass
+        RECORD["vs_baseline"] = round(vs, 3)
+
+    _stage("splat_headline")(headline)
 
     # ---------------- render-only fps (novel-view path, incl. binning) ----
-    _mark(aux, "render_fps")
-    params = holder["state"].params
+    def render_fps():
+        params = holder["state"].params
+        scfg = holder["scfg"]
 
-    def render_once(carry):
-        p = dict(params)
-        p["means"] = p["means"] + carry * 1e-20
-        rgb, _, _ = render(p, w2c, K, w, h, scfg)
-        return rgb.sum()
+        def render_once():
+            rgb, _, _ = render(params, w2c, K, w, h, scfg)
+            return rgb
 
-    dt_render = _timeit(render_once, warmup=2, iters=10)
-    aux["render_fps_224"] = round(n_cams / dt_render, 1)
+        dt_render = _timeit(render_once, warmup=2, iters=10)
+        aux["render_fps_224"] = round(n_cams / dt_render, 1)
+
+    _stage("render_fps", min_budget_s=60)(render_fps)
 
     # ---------------- pairwise ViT inference throughput + MFU -------------
-    _mark(aux, "vit_224")
     mcfg = ModelConfig.base()
-    model = Mast3rModel.init_random(mcfg, image_hw=(224, 224))
-    b = 16   # large pair batch: 196-token GEMMs need >=3k rows to fill MXU
-    img = jnp.asarray(rng.uniform(-1, 1, size=(b, 224, 224, 3))
-                      .astype(np.float32))
 
-    def infer(carry):
-        x = img + carry * 1e-20
-        return model.infer_pair_batch(x, x)["pts1"].sum()
+    def vit224():
+        from starst3r_tpu.models.mast3r import Mast3rModel
+        model = Mast3rModel.init_random(mcfg, image_hw=(224, 224))
+        b = 16   # large pair batch: 196-token GEMMs need >=3k rows for MXU
+        img = jnp.asarray(rng.uniform(-1, 1, size=(b, 224, 224, 3))
+                          .astype(np.float32))
 
-    dt_inf = _timeit(infer, warmup=2, iters=5)
-    pairs_per_s = b / dt_inf
-    aux["vit_base_pairs_per_s_224"] = round(pairs_per_s, 2)
-    tok224 = (224 // mcfg.patch_size) ** 2
-    vit_flops = _vit_pair_flops(mcfg, tok224) * b
-    if peaks["peak_bf16_flops"]:
-        aux["vit_mfu_224"] = round(vit_flops / dt_inf
-                                   / peaks["peak_bf16_flops"], 3)
-        aux["vit_flops_note"] = ("trunk only (enc+interleaved dec), heads "
-                                 "excluded -> MFU is a lower bound")
+        def infer():
+            return model.infer_pair_batch(img, img)["pts1"]
 
-    # Aux quality/scale stages run the device hard; on the axon
-    # tunnel a long kernel can be killed with a TPU device error
-    # that leaves the worker unhealthy, so on the FIRST fault we
-    # stop device work, record the failed stage, and still print
-    # the headline record with every aux block gathered so far.
-    try:
-        # ---------------- quality: GA ATE/RPE on planted scenes ---------------
-        _mark(aux, "ga_quality")
-        from starst3r_tpu.alignment.ga import run_global_alignment
-        from starst3r_tpu.utils.eval import ate_rmse, rpe_rotation_deg
-        from starst3r_tpu.utils.synthetic import (synthetic_ga_scene,
-                                                  synthetic_image_scene)
+        dt_inf = _timeit(infer, warmup=2, iters=5)
+        aux["vit_base_pairs_per_s_224"] = round(b / dt_inf, 2)
+        tok224 = (224 // mcfg.patch_size) ** 2
+        vit_flops = _vit_pair_flops(mcfg, tok224) * b
+        if peaks["peak_bf16_flops"]:
+            aux["vit_mfu_224"] = round(vit_flops / dt_inf
+                                       / peaks["peak_bf16_flops"], 3)
+            aux["vit_flops_note"] = ("trunk only (enc+interleaved dec), "
+                                     "heads excluded -> MFU lower bound")
 
+    _stage("vit_224", min_budget_s=120)(vit224)
+
+    # ---------------- quality: GA ATE/RPE on planted scenes ---------------
+    from starst3r_tpu.alignment.ga import run_global_alignment
+    from starst3r_tpu.utils.eval import ate_rmse, rpe_rotation_deg
+    from starst3r_tpu.utils.synthetic import (synthetic_ga_scene,
+                                              synthetic_image_scene)
+
+    def ga_quality():
         data, mst, gt_poses, _ = synthetic_ga_scene(n_cams=4, hw=128,
                                                     subsample=4)
         result, _ = run_global_alignment(data, mst,
@@ -295,9 +378,14 @@ def main():
         aux["ga_rpe_rot_deg"] = round(
             float(rpe_rotation_deg(pred, gt_poses)), 3)
 
-        # snap-free variant: exact continuous correspondences — the optimizer
-        # bound itself (tests/test_ga_groundtruth.py reasoning; VERDICT r3 #5)
-        sdata, smst, sgt, _ = synthetic_ga_scene(n_cams=4, hw=128, subsample=4,
+    _stage("ga_quality", min_budget_s=120)(ga_quality)
+
+    def ga_snap_free():
+        # snap-free variant: exact continuous correspondences — the
+        # optimizer bound itself (tests/test_ga_groundtruth.py; VERDICT
+        # r3 #5)
+        sdata, smst, sgt, _ = synthetic_ga_scene(n_cams=4, hw=128,
+                                                 subsample=4,
                                                  snap_free=True)
         sres, _ = run_global_alignment(
             sdata, smst, GAConfig(niter1=500, niter2=200, lr2=0.004))
@@ -306,8 +394,26 @@ def main():
             sgt[:, :3, 3] - sgt[:, :3, 3].mean(0), axis=1).max())
         aux["ga_ate_frac_snap_free"] = round(s_ate / s_scale, 6)
 
-        # ---------------- quality: splat optimization PSNR (splat-fits-splat) -
-        _mark(aux, "splat_psnr")
+    _stage("ga_snap_free", min_budget_s=100)(ga_snap_free)
+
+    def ga_anchored():
+        # anchored continuous correspondences on the PRODUCT condense path
+        # (VERDICT r3 next-round #4): descriptor-anchored sub-pixel
+        # positions thread through condense_pairs when anchors are present
+        adata, amst, agt, _ = synthetic_ga_scene(n_cams=4, hw=128,
+                                                 subsample=4,
+                                                 anchored=True)
+        ares, _ = run_global_alignment(
+            adata, amst, GAConfig(niter1=500, niter2=200, lr2=0.004))
+        a_ate = float(ate_rmse(np.asarray(ares.cam2w), agt))
+        a_scale = float(np.linalg.norm(
+            agt[:, :3, 3] - agt[:, :3, 3].mean(0), axis=1).max())
+        aux["ga_ate_frac_anchored"] = round(a_ate / a_scale, 6)
+
+    _stage("ga_anchored", min_budget_s=100)(ga_anchored)
+
+    # ---------------- quality: splat optimization PSNR --------------------
+    def splat_psnr():
         qcfg = dataclasses.replace(cfg, init_scale=2e-2)
         tgt_pts = rng.normal(size=(4000, 3)).astype(np.float32) * 0.4
         tgt_pts[:, 2] += 3.0
@@ -316,32 +422,36 @@ def main():
         tgt_gt = jnp.clip(render(tgt_state.params, w2c, K, w, h, qcfg)[0],
                           0.0, 1.0)
         opt_state = init_gaussians(
-            tgt_pts + rng.normal(size=tgt_pts.shape).astype(np.float32) * 0.05,
+            tgt_pts + rng.normal(size=tgt_pts.shape).astype(np.float32)
+            * 0.05,
             rng.uniform(size=(4000, 3)).astype(np.float32), qcfg, seed=2)
-        rgb0 = jnp.clip(render(opt_state.params, w2c, K, w, h, qcfg)[0], 0, 1)
+        rgb0 = jnp.clip(render(opt_state.params, w2c, K, w, h, qcfg)[0],
+                        0, 1)
         psnr0 = float(np.mean([psnr_fn(tgt_gt[i], rgb0[i])
                                for i in range(n_cams)]))
-        opt_state, _ = run_optim(opt_state, np.asarray(tgt_gt), np.asarray(w2c),
-                                 np.asarray(K), 150, qcfg)
+        opt_state, _ = run_optim(opt_state, np.asarray(tgt_gt),
+                                 np.asarray(w2c), np.asarray(K), 150, qcfg)
         rgb_opt = jnp.clip(render(opt_state.params, w2c, K, w, h, qcfg)[0],
                            0, 1)
         aux["splat_psnr_150_iters"] = round(float(np.mean(
             [psnr_fn(tgt_gt[i], rgb_opt[i]) for i in range(n_cams)])), 2)
         aux["splat_psnr_init"] = round(psnr0, 2)
 
-        # ---------------- end-to-end image-space quality (VERDICT r3 #7) ------
-        _mark(aux, "e2e_quality")
-        # GA on exact synthetic data recovers poses + core points; 3DGS trains
-        # against the rendered images ON THE RECOVERED poses; PSNR at a
-        # held-out middle camera (its image never enters the splat loss and its
-        # points/colors never seed the Gaussians).
+    _stage("splat_psnr", min_budget_s=150)(splat_psnr)
+
+    # ---------------- end-to-end image-space quality (VERDICT r3 #7) ------
+    def e2e_quality():
+        # GA on exact synthetic data recovers poses + core points; 3DGS
+        # trains against the rendered images ON THE RECOVERED poses; PSNR
+        # at a held-out middle camera (its image never enters the splat
+        # loss and its points/colors never seed the Gaussians).
         edata, emst, _egt, _eK, eimgs = synthetic_image_scene(
             n_cams=6, hw=128, subsample=2)
         eres, _ = run_global_alignment(
             edata, emst, GAConfig(niter1=500, niter2=200, lr2=0.004))
         hold = 3
         train_cams = [i for i in range(6) if i != hold]
-        core_pix = np.asarray(edata.core_pix).astype(np.int64)   # (S, 2) u,v
+        core_pix = np.asarray(edata.core_pix).astype(np.int64)  # (S, 2) u,v
         e_pts = np.asarray(eres.pts3d)[train_cams].reshape(-1, 3)
         e_cols = np.stack([eimgs[i][core_pix[:, 1], core_pix[:, 0]]
                            for i in train_cams]).reshape(-1, 3)
@@ -363,29 +473,37 @@ def main():
                                               e_rgb)), 2)
         aux["e2e_psnr_init"] = round(e_psnr0, 2)
 
-        # ---------------- 512-px operating block (VERDICT r3 #8) --------------
-        _mark(aux, "res512")
-        res512 = {}
+    _stage("e2e_quality", min_budget_s=180)(e2e_quality)
+
+    # ---------------- 512-px operating block (checkpoint-native res) ------
+    def res512():
+        from starst3r_tpu.models.mast3r import Mast3rModel
+        r = {}
         model512 = Mast3rModel.init_random(mcfg, image_hw=(512, 512))
         b512 = 4
         img512 = jnp.asarray(rng.uniform(-1, 1, size=(b512, 512, 512, 3))
                              .astype(np.float32))
 
-        def infer512(carry):
-            x = img512 + carry * 1e-20
-            return model512.infer_pair_batch(x, x)["pts1"].sum()
+        def infer512():
+            return model512.infer_pair_batch(img512, img512)["pts1"]
 
         dt512 = _timeit(infer512, warmup=1, iters=3)
-        res512["vit_base_pairs_per_s"] = round(b512 / dt512, 2)
+        r["vit_base_pairs_per_s"] = round(b512 / dt512, 2)
         if peaks["peak_bf16_flops"]:
             tok512 = (512 // mcfg.patch_size) ** 2
-            res512["vit_mfu"] = round(
+            r["vit_mfu"] = round(
                 _vit_pair_flops(mcfg, tok512) * b512 / dt512
                 / peaks["peak_bf16_flops"], 3)
+        aux["res512"] = r
 
+    _stage("res512", min_budget_s=240)(res512)
+
+    def splat512():
+        r = aux.setdefault("res512", {})
         h5 = w5 = 512
         c5 = 4
-        gt5 = jnp.asarray(rng.uniform(size=(c5, h5, w5, 3)).astype(np.float32))
+        gt5 = jnp.asarray(rng.uniform(size=(c5, h5, w5, 3))
+                          .astype(np.float32))
         w2c5 = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (c5, 1, 1))
         K5 = jnp.tile(jnp.array([[460.0, 0, w5 / 2], [0, 460.0, h5 / 2],
                                  [0, 0, 1]], jnp.float32)[None], (c5, 1, 1))
@@ -393,61 +511,28 @@ def main():
         scfg5 = _autobudget_cfg(st5, w2c5, K5, w5, h5, cfg)
         bins5 = compute_bins(st5.params, w2c5, K5, w5, h5, scfg5,
                              n_alive=st5.n_alive)
-        holder5 = {"state": st5}
+        h5d = {"state": st5}
 
-        def step5(carry):
-            s, loss = train_step(holder5["state"], gt5 + carry * 1e-20, w2c5,
-                                 K5, w5, h5, scfg5, c5, bins=bins5)
-            holder5["state"] = s
+        def step5():
+            s, loss = train_step(h5d["state"], gt5, w2c5, K5, w5, h5,
+                                 scfg5, c5, bins=bins5)
+            h5d["state"] = s
             return loss
 
-        def bin5(carry):
-            bb = compute_bins(
-                {**holder5["state"].params,
-                 "means": holder5["state"].params["means"] + carry * 1e-20},
-                w2c5, K5, w5, h5, scfg5, n_alive=holder5["state"].n_alive)
-            return bb.counts.sum().astype(jnp.float32)
+        def bin5():
+            return compute_bins(h5d["state"].params, w2c5, K5, w5, h5,
+                                scfg5, n_alive=h5d["state"].n_alive).counts
 
         dt_step5 = _timeit(step5, warmup=2, iters=5)
         dt_bin5 = _timeit(bin5, warmup=2, iters=5)
-        res512["splat_step_ms"] = round(
-            (dt_step5 + dt_bin5 / REBIN) * 1e3, 2)
-        res512["splat_tiles"] = (-(-w5 // cfg.tile_size)) ** 2
-        res512["splat_budget"] = {
+        r["splat_step_ms"] = round((dt_step5 + dt_bin5 / REBIN) * 1e3, 2)
+        r["splat_budget"] = {
             "max_tiles_per_gaussian": scfg5.max_tiles_per_gaussian,
             "max_per_tile": scfg5.max_per_tile}
-        aux["res512"] = res512
-    except Exception as e:  # noqa: BLE001 — deliberate fail-soft
-        traceback.print_exc()
-        aux["aux_error"] = repr(e)[:300]
-        aux["aux_error_stage"] = aux.get("last_stage", "?")
 
-    # ---------------- record ----------------------------------------------
-    prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_LOCAL.json")
-    vs_baseline = 1.0
-    if os.path.exists(prev_path):
-        try:
-            with open(prev_path) as f:
-                prev = json.load(f)
-            if prev.get("value"):
-                vs_baseline = gauss_per_s / float(prev["value"])
-        except Exception:
-            pass
+    _stage("splat_512", min_budget_s=240)(splat512)
 
-    record = {
-        "metric": "gaussians_optimized_per_s",
-        "value": round(gauss_per_s, 1),
-        "unit": "gaussians*steps/s",
-        "vs_baseline": round(vs_baseline, 3),
-        "aux": aux,
-    }
-    try:
-        with open(prev_path, "w") as f:
-            json.dump(record, f)
-    except Exception:
-        pass
-    print(json.dumps(record))
+    emit(final=True)
 
 
 if __name__ == "__main__":

@@ -16,6 +16,15 @@ import argparse
 import os
 import time
 
+# Honor JAX_PLATFORMS=cpu even under the axon TPU plugin, whose
+# sitecustomize registers the tunnel backend regardless of the env var
+# (backend init then fails with "Unable to initialize backend 'axon'").
+# Forcing the platform through jax.config BEFORE any other jax use is the
+# supported escape hatch (same approach as tests/conftest.py).
+if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 

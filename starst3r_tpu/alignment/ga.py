@@ -158,7 +158,8 @@ def make_state(data: CondensedData, mst: Tuple[int, Any],
 
 def make_K_cam_depth(params: GAParams, state: GAState,
                      depth_mode: str = "add",
-                     shared_intrinsics: bool = False):
+                     shared_intrinsics: bool = False,
+                     exp_depth: bool = False):
     """The reparameterization core (reference reconstruct.py:209-261).
 
     ``shared_intrinsics`` (reference reconstruct.py:67, sparse_ga's
@@ -230,6 +231,11 @@ def make_K_cam_depth(params: GAParams, state: GAState,
 
     # core-grid metric depth (depth_mode='add', reconstruct.py:247-259)
     core = params.core_depth                                # (C, S) or (C, k)
+    if exp_depth:
+        # exp_depth (reference reconstruct.py:249-250, init :274-275):
+        # core depth is parameterized in log space — exp BEFORE the lora
+        # expansion, mirroring the reference's runtime order
+        core = jnp.exp(core)
     if state.depth_basis is not None:
         # lora_depth expansion (reconstruct.py:251-252): dense core depth
         # from spectral coefficients — one batched MXU matmul. Full fp32:
@@ -401,7 +407,8 @@ def _optimize_chunk(params: GAParams, opt_state, stopped, prev_loss,
 
     def loss_fn(p, step):
         K, w2c, cam2w, depth = make_K_cam_depth(p, state, cfg.depth_mode,
-                                                cfg.shared_intrinsics)
+                                                cfg.shared_intrinsics,
+                                                cfg.exp_depth)
         alpha = 1.0 - step.astype(jnp.float32) / max(niter, 1)
         if phase == 1:
             main = _loss_3d(K, cam2w, depth, state, gamma, alpha)
@@ -490,6 +497,12 @@ def run_global_alignment(
         if depth_coeffs is None:
             raise ValueError("depth_basis requires depth_coeffs")
         params = params._replace(core_depth=jnp.asarray(depth_coeffs))
+    if cfg.exp_depth:
+        # log-space depth parameterization at init (reference
+        # reconstruct.py:274-275: clip(1e-4).log() — applied AFTER the
+        # lora substitution, i.e. to whatever core_depth now holds)
+        params = params._replace(core_depth=jnp.log(
+            jnp.clip(params.core_depth, 1e-4, None)))
 
     if prev_params is not None:
         from ..utils.checkpoint import tree_prefix_overwrite
@@ -520,7 +533,8 @@ def run_global_alignment(
             params, state, cfg.niter2, cfg.lr2, cfg.lr_end, cfg.gamma2, 2, cfg)
 
     K, w2c, cam2w, depth = make_K_cam_depth(params, state, cfg.depth_mode,
-                                            cfg.shared_intrinsics)
+                                            cfg.shared_intrinsics,
+                                            cfg.exp_depth)
     pts3d = _core_pts3d(K, cam2w, depth, state)
     result = GAResult(K=K, w2c=w2c, cam2w=cam2w, depth=depth, pts3d=pts3d,
                       loss_coarse=float(loss1), loss_fine=float(loss2))

@@ -72,6 +72,10 @@ def _build_parser() -> argparse.ArgumentParser:
     rec.add_argument("--shared-intrinsics", action="store_true",
                      help="optimize one focal + principal point shared by "
                      "all cameras (reference reconstruct.py:67)")
+    rec.add_argument("--exp-depth", action="store_true",
+                     help="parameterize core depth in log space "
+                     "(positivity by construction; reference "
+                     "reconstruct.py:122,249-250)")
     rec.add_argument("--lora-depth", action="store_true",
                      help="optimize per-image depth as k spectral "
                      "coefficients over an image-appearance Laplacian "
@@ -158,6 +162,7 @@ def _cmd_reconstruct(args) -> int:
         lm_iters=args.lm_iters,
         lm_mode=args.refine_mode,
         shared_intrinsics=bool(args.shared_intrinsics),
+        exp_depth=bool(args.exp_depth),
         lora_depth=bool(args.lora_depth),
         lora_k=args.lora_k,
         # lora_depth without opt_depth would freeze the coefficients and

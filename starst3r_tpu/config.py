@@ -151,6 +151,11 @@ class GAConfig:
     jit_chunk: int = 50
     lr_end: float = 0.0
     depth_mode: str = "add"
+    # log-space core-depth parameterization (reference reconstruct.py:122
+    # `exp_depth=False`, use :249-250, init :274-275): params hold
+    # log(depth); positivity is enforced by construction. Off by default
+    # upstream and here.
+    exp_depth: bool = False
     # post-GA Levenberg–Marquardt refinement of absolute poses (+focal)
     # over the 3D-3D correspondences (alignment/lm.py; the scale path the
     # Adam GA's chained parameterization cannot serve — SURVEY §7.2 layer 5)

@@ -198,8 +198,23 @@ def _autobudget_cfg(state: GSState, w2c, Ks, width, height,
                                max_per_tile=mpt)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "cfg",
-                                             "n_cams"))
+# SplatConfig fields that do NOT appear in any jitted graph (host-side
+# loop/init knobs). `_graph_cfg` pins them to canonical values before a
+# config is used as a static jit argument, so e.g. rebin_every=1 vs 4 or a
+# different MCMC schedule does not force a 100+ s recompile of an
+# identical train-step graph (TPU compiles over the axon tunnel are slow).
+_NON_GRAPH_FIELDS = dict(
+    init_scale=3e-3, auto_budget=True, rebin_every=1, cap_max=1_000_000,
+    mcmc_min_opacity=0.005, mcmc_noise_lr=5e5, mcmc_refine_every=100,
+    mcmc_refine_start=500, mcmc_refine_stop=25_000, mcmc_grow_factor=1.05,
+    pool_headroom=2.0, camera_batch=0)
+
+
+def _graph_cfg(cfg: SplatConfig) -> SplatConfig:
+    import dataclasses
+    return dataclasses.replace(cfg, **_NON_GRAPH_FIELDS)
+
+
 def train_step(state: GSState, gt: jnp.ndarray, w2c: jnp.ndarray,
                Ks: jnp.ndarray, width: int, height: int, cfg: SplatConfig,
                n_cams: int, bins=None):
@@ -207,6 +222,15 @@ def train_step(state: GSState, gt: jnp.ndarray, w2c: jnp.ndarray,
 
     bins: optional `compute_bins` result (cfg.rebin_every reuse — skips
     the two binning sorts; gradients stay exact)."""
+    return _train_step(state, gt, w2c, Ks, width, height, _graph_cfg(cfg),
+                       n_cams, bins)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "cfg",
+                                             "n_cams"))
+def _train_step(state: GSState, gt: jnp.ndarray, w2c: jnp.ndarray,
+                Ks: jnp.ndarray, width: int, height: int, cfg: SplatConfig,
+                n_cams: int, bins=None):
     opt = optax.adam(cfg.lr)
     cap = state.params["means"].shape[0]
     alive = (jnp.arange(cap, dtype=jnp.int32) < state.n_alive)
@@ -238,10 +262,15 @@ def train_step(state: GSState, gt: jnp.ndarray, w2c: jnp.ndarray,
                    n_alive=state.n_alive), loss
 
 
-@functools.partial(jax.jit, static_argnames=("lr", "cfg", "mcfg",
-                                             "do_refine"))
 def _mcmc_post_step(state: GSState, lr: float, cfg: SplatConfig,
                     mcfg: MCMCConfig, do_refine: bool) -> GSState:
+    return _mcmc_post_step_jit(state, lr, _graph_cfg(cfg), mcfg, do_refine)
+
+
+@functools.partial(jax.jit, static_argnames=("lr", "cfg", "mcfg",
+                                             "do_refine"))
+def _mcmc_post_step_jit(state: GSState, lr: float, cfg: SplatConfig,
+                        mcfg: MCMCConfig, do_refine: bool) -> GSState:
     key, k1, k2 = jax.random.split(state.key, 3)
     params = state.params
     opt_state = state.opt_state
@@ -365,6 +394,9 @@ def run_optim(state: GSState, gt_images: np.ndarray, w2c: np.ndarray,
             if do_refine:
                 bins = None   # relocated Gaussians jump: force a rebin
         losses_dev.append(loss)
+        # note: verbose mode host-syncs (float()/int()) every 50 steps BY
+        # DESIGN — the no-per-step-sync pipelining claim above holds for
+        # the default verbose=False path only.
         if verbose and (it % 50 == 0 or it == iters - 1):
             print(f"[3dgs] step {step0 + it + 1} "
                   f"loss={float(loss):.4f} alive={int(state.n_alive)}")

@@ -151,3 +151,33 @@ def test_ga_focal_stays_stable():
     rec_f = np.asarray(result.K)[:, 0, 0]
     rel = np.abs(rec_f - F_GT) / F_GT
     assert rel.max() < 0.25, rec_f
+
+
+def test_ga_exp_depth_recovers_planted_poses():
+    """exp_depth=True (reference reconstruct.py:122,249-250,274-275):
+    core depth is optimized in log space. The parameterization change must
+    (a) keep the recovered trajectory within the same ATE bound and
+    (b) produce the same metric depth surface at init (round-trip
+    exp(log(d)) == d)."""
+    data, mst, gt = _build_synthetic()
+    cfg = GAConfig(niter1=400, niter2=200, exp_depth=True, opt_depth=True)
+    result, params = run_global_alignment(data, mst, cfg)
+    pred = np.asarray(result.cam2w)
+    # opt_depth=True lets depth absorb snap noise, so the bound is looser
+    # than the pose-only tests' 12% (linear-depth opt_depth=True lands in
+    # the same band)
+    assert ate_rmse(pred, gt) < 0.15 * _traj_scale(gt)
+    # params hold log-depth (strictly, exp(params) must be positive finite)
+    d = np.exp(np.asarray(params.core_depth))
+    assert np.all(np.isfinite(d)) and np.all(d > 0)
+
+
+def test_ga_exp_depth_init_roundtrip():
+    """At zero iterations the exp_depth parameterization must reproduce the
+    exact same depth output as the linear one (exp(log(d)) == d up to f32)."""
+    data, mst, gt = _build_synthetic()
+    r_lin, _ = run_global_alignment(data, mst, GAConfig(niter1=0, niter2=0))
+    r_exp, _ = run_global_alignment(data, mst, GAConfig(niter1=0, niter2=0,
+                                                        exp_depth=True))
+    np.testing.assert_allclose(np.asarray(r_exp.depth),
+                               np.asarray(r_lin.depth), rtol=2e-6)

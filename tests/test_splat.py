@@ -366,3 +366,42 @@ def test_camera_batch_plumbed(rng):
                          np.float32)[None], (c, 1, 1))
     state, losses = run_optim(state, gt, w2c, K, 6, cfg)
     assert len(losses) == 6 and all(np.isfinite(losses))
+
+
+def test_render_3dgs_masks_dead_slots(rng):
+    """Scene.render_3dgs must thread n_alive: perturbing a DEAD pool slot's
+    opacity must not change user-facing renders (VERDICT r3 weak #7 — the
+    render path previously relied on dead slots happening to keep exactly
+    opacity 0)."""
+    import dataclasses
+
+    import starst3r_tpu as st
+
+    n = 64
+    cfg = st.default_config()
+    scene = st.Scene(config=cfg)
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    pts[:, 2] += 3.0
+    scene.dense_pts = [pts]
+    scene.dense_cols = [rng.uniform(size=(n, 3)).astype(np.float32)]
+    scene.c2w = np.tile(np.eye(4, dtype=np.float32)[None], (1, 1, 1))
+    scene.intrinsics = np.tile(
+        np.array([[30.0, 0, 16], [0, 30.0, 16], [0, 0, 1]],
+                 np.float32)[None], (1, 1, 1))
+    scene.imgs = [rng.uniform(size=(32, 32, 3)).astype(np.float32)]
+    state = scene.init_3dgs()          # pool_headroom reserves dead slots
+    cap = state.params["means"].shape[0]
+    assert cap > n                      # dead slots exist
+    rgb0, a0, _ = scene.render_3dgs_original(32, 32)
+
+    # corrupt a dead slot: full opacity, at a visible position
+    import jax.numpy as jnp
+    params = dict(state.params)
+    params["means"] = params["means"].at[n].set(
+        jnp.asarray([0.0, 0.0, 3.0]))
+    params["opacities"] = params["opacities"].at[n].set(50.0)
+    params["scales"] = params["scales"].at[n].set(0.5)
+    scene.gs_state = state._replace(params=params)
+    rgb1, a1, _ = scene.render_3dgs_original(32, 32)
+    np.testing.assert_array_equal(np.asarray(rgb0), np.asarray(rgb1))
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))

@@ -1,140 +1,98 @@
-"""Honest-clock probe: render fwd, train_step (ref), pallas fwd, grad parts.
+"""Timing-methodology probe (VERDICT r3 #10).
 
-Run on the real TPU:  python tools/probe_timing.py [render|train|pallas|parts]
+Three ways to time the same device work on the axon TPU tunnel:
+
+  A. `block_until_ready` on a single dispatch (classic).
+  B. carry-chain: K data-dependent dispatches between two `device_get`s
+     (bench.py `_timeit`) — includes per-dispatch host/tunnel overhead if
+     the host cannot enqueue ahead of the device.
+  C. `lax.scan` of K data-dependent iterations inside ONE dispatch —
+     pure device time per iteration, no per-dispatch overhead.
+
+Ground truth: a bf16 matmul with known FLOPs. On a v5e (197 Tbf16FLOP/s
+peak) a 4096^3 matmul is 137 GFLOP ~ 0.7 ms at speed-of-light; any
+measurement far outside [0.7 ms, 5 ms] is methodology error.
+
+Run: python tools/probe_timing.py
 """
-
-import os
 import sys
 import time
 
 import numpy as np
 
-t00 = time.time()
 
+def main():
+    import jax
+    import jax.numpy as jnp
 
-def log(m):
-    print(f"[{time.time()-t00:7.1f}s] {m}", flush=True)
-
-
-import jax  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from starst3r_tpu.utils import enable_compilation_cache  # noqa: E402
-
-enable_compilation_cache()
-from starst3r_tpu.config import SplatConfig  # noqa: E402
-from starst3r_tpu.splat.train import init_gaussians, train_step, render  # noqa: E402
-import importlib  # noqa: E402
-
-rz = importlib.import_module("starst3r_tpu.splat.rasterize")  # noqa: E402
-from tools.timing import chain_time  # noqa: E402
-
-log(f"jax up, devices={jax.devices()}")
-
-rng = np.random.default_rng(0)
-n_g = 50_000
-n_cams, h, w = 8, 224, 224
-pts = rng.normal(size=(n_g, 3)).astype(np.float32) * 0.5
-pts[:, 2] += 3.0
-cols = rng.uniform(size=(n_g, 3)).astype(np.float32)
-cfg = SplatConfig()
-state = init_gaussians(pts, cols, cfg)
-gt = jnp.asarray(rng.uniform(size=(n_cams, h, w, 3)).astype(np.float32))
-w2c = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (n_cams, 1, 1))
-K = jnp.tile(jnp.array([[200.0, 0, w / 2], [0, 200.0, h / 2], [0, 0, 1]],
-                       jnp.float32)[None], (n_cams, 1, 1))
-
-which = sys.argv[1] if len(sys.argv) > 1 else "all"
-p = state.params
-rast_args = (p["means"], p["quats"], p["scales"], p["opacities"], p["shN"],
-             w2c, K)
-
-
-def probe_render(impl):
-    @jax.jit
-    def f(x):
-        rgb, a, _ = rz.rasterize(p["means"] + 0 * x, p["quats"],
-                                 p["scales"], p["opacities"], p["shN"],
-                                 w2c, K, w, h, impl=impl)
-        return jnp.sum(rgb) + x * 1e-20
-
-    x = jnp.asarray(0.0)
-    holder = [x]
-
-    def step():
-        holder[0] = f(holder[0])
-        return holder[0]
-
-    log(f"compiling render impl={impl} ...")
-    dt = chain_time(step, n=10, warmup=2)
-    log(f"render impl={impl}: {dt*1e3:.1f} ms / 8 cams")
-
-
-def probe_train():
-    holder = {"s": state}
-
-    def step():
-        s, loss = train_step(holder["s"], gt, w2c, K, w, h, cfg, n_cams)
-        holder["s"] = s
-        return loss
-
-    log("compiling train_step (ref impl) ...")
-    dt = chain_time(step, n=10, warmup=2)
-    log(f"train_step ref: {dt*1e3:.1f} ms")
-
-
-def probe_parts():
-    """Split the backward: (a) composite-only grad, (b) full grad."""
+    n = 4096
+    flops = 2 * n ** 3
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32), jnp.bfloat16)
+    b = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32), jnp.bfloat16)
 
     @jax.jit
-    def grad_full(means, x):
-        def loss_fn(m):
-            rgb, a, _ = rz.rasterize(m, p["quats"], p["scales"],
-                                     p["opacities"], p["shN"], w2c, K, w, h,
-                                     impl="ref")
-            return jnp.sum(rgb * rgb) + x * 1e-20
-        g = jax.grad(loss_fn)(means)
-        return jnp.sum(g)
+    def mm(x):
+        return (x @ b)
 
-    x = jnp.asarray(0.0)
-    holder = [x]
+    # warmup/compile
+    out = mm(a)
+    jax.block_until_ready(out)
 
-    def step():
-        holder[0] = grad_full(p["means"], holder[0])
-        return holder[0]
+    # A: block_until_ready, 10 independent dispatches
+    t0 = time.perf_counter()
+    for _ in range(10):
+        out = mm(a)
+    jax.block_until_ready(out)
+    dt_a = (time.perf_counter() - t0) / 10
 
-    log("compiling grad(means) ref ...")
-    dt = chain_time(step, n=5, warmup=1)
-    log(f"grad(means) ref: {dt*1e3:.1f} ms")
+    # B: carry chain, 10 data-dependent dispatches
+    x = a
+    t0 = time.perf_counter()
+    for _ in range(10):
+        x = mm(x)
+    jax.block_until_ready(x)
+    dt_b = (time.perf_counter() - t0) / 10
 
+    # C: scan of 10 chained matmuls in ONE dispatch
     @jax.jit
-    def grad_colors(shn, x):
-        def loss_fn(s):
-            rgb, a, _ = rz.rasterize(p["means"], p["quats"], p["scales"],
-                                     p["opacities"], s, w2c, K, w, h,
-                                     impl="ref")
-            return jnp.sum(rgb * rgb) + x * 1e-20
-        g = jax.grad(loss_fn)(shn)
-        return jnp.sum(g)
+    def mm_scan(x):
+        def body(c, _):
+            return mm(c), ()
+        c, _ = jax.lax.scan(body, x, None, length=10)
+        return c
 
-    holder2 = [jnp.asarray(0.0)]
+    jax.block_until_ready(mm_scan(a))
+    t0 = time.perf_counter()
+    y = mm_scan(a)
+    jax.block_until_ready(y)
+    dt_c = (time.perf_counter() - t0) / 10
 
-    def step2():
-        holder2[0] = grad_colors(p["shN"], holder2[0])
-        return holder2[0]
+    # D: empty-ish dispatch round trip (tiny kernel, chained)
+    @jax.jit
+    def tiny(s):
+        return s + 1.0
 
-    log("compiling grad(shN) ref ...")
-    dt = chain_time(step2, n=5, warmup=1)
-    log(f"grad(shN) ref: {dt*1e3:.1f} ms")
+    s = jnp.asarray(0.0)
+    jax.block_until_ready(tiny(s))
+    t0 = time.perf_counter()
+    for _ in range(20):
+        s = tiny(s)
+    jax.block_until_ready(s)
+    dt_d = (time.perf_counter() - t0) / 20
+
+    peak = 197e12
+    print(f"matmul {n}^3 = {flops/1e9:.0f} GFLOP, v5e peak -> "
+          f"{flops/peak*1e3:.2f} ms at speed-of-light")
+    print(f"A block_until_ready x10 indep : {dt_a*1e3:8.3f} ms/iter "
+          f"(MFU {flops/dt_a/peak:.2f})")
+    print(f"B carry-chain x10 dispatches  : {dt_b*1e3:8.3f} ms/iter "
+          f"(MFU {flops/dt_b/peak:.2f})")
+    print(f"C lax.scan x10 in one dispatch: {dt_c*1e3:8.3f} ms/iter "
+          f"(MFU {flops/dt_c/peak:.2f})")
+    print(f"D tiny chained dispatch       : {dt_d*1e3:8.3f} ms/dispatch "
+          f"(per-dispatch overhead floor)")
 
 
-if which in ("render", "all"):
-    probe_render("ref")
-if which in ("pallas", "all"):
-    probe_render("pallas")
-if which in ("train", "all"):
-    probe_train()
-if which in ("parts", "all"):
-    probe_parts()
-log("done")
+if __name__ == "__main__":
+    sys.exit(main())
