@@ -22,12 +22,17 @@ timeout that killed the single end-of-run print):
     continues with the next stage.
 
 TIMING METHODOLOGY (VERDICT r3 #10 — settled by tools/probe_timing.py on
-TPU v5e over the axon tunnel): `jax.block_until_ready` wall times agree
-with a data-dependent carry chain AND with a lax.scan of chained iterations
-inside one dispatch (3.18 / 3.09 / 3.14 ms/iter on a 4096^3 matmul), and
-per-dispatch overhead is ~1.4 ms. Wall-clock with block_until_ready is
-therefore honest at the >=50 ms scale measured here; the earlier claim that
-it returns ~1000x optimistic no longer reproduces.
+TPU v5e over the axon tunnel): on compute-heavy programs
+`jax.block_until_ready` agrees with a data-dependent carry chain AND with
+a lax.scan of chained iterations inside one dispatch (3.18 / 3.09 /
+3.14 ms/iter on a 4096^3 matmul; ~1.4 ms/dispatch overhead) — but it was
+ALSO observed to intermittently return early (0.03 ms for a 100 MB
+gather, later 5.6 ms for the identical program). The only sync that can
+never lie is a `device_get`: the transfer is queued after the timed
+programs on the single in-order TPU core. `_timeit` therefore syncs by
+fetching one element of the final output. Headline wall times were
+cross-checked against profiler device times (tools/probe_profile_step.py:
+108.7 ms wall vs 105.7 ms device for the train step).
 
 The reference publishes no numbers (BASELINE.md), so vs_baseline is the
 ratio against the previous recorded run of this harness (BENCH_LOCAL.json),
@@ -123,17 +128,27 @@ def _stage(name: str, min_budget_s: float = 0.0):
 
 
 def _timeit(fn, warmup=2, iters=10):
-    """Median-free mean wall time per call via block_until_ready (see
-    TIMING METHODOLOGY in the module docstring)."""
+    """Mean wall time per call, synced by `device_get` of a 1-element slice
+    of the last output (see TIMING METHODOLOGY in the module docstring —
+    `block_until_ready` was observed to INTERMITTENTLY return early on the
+    axon tunnel, e.g. 0.03 ms for a 100 MB gather; a device_get transfer
+    cannot complete before every queued program has executed, since the
+    single TPU core runs programs in order)."""
     import jax
+    import jax.numpy as jnp
+
+    def sync(x):
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        jax.device_get(jnp.ravel(leaf)[:1])
+
     out = None
     for _ in range(warmup):
         out = fn()
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn()
-    jax.block_until_ready(out)
+    sync(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -447,8 +462,12 @@ def main():
         # loss and its points/colors never seed the Gaussians).
         edata, emst, _egt, _eK, eimgs = synthetic_image_scene(
             n_cams=6, hw=128, subsample=2)
+        # jit_chunk 10: at subsample=2 the core grid is 4096 points and a
+        # 50-step GA kernel exceeds the axon tunnel's kernel watchdog
+        # (observed "TPU device error" killing the stage)
         eres, _ = run_global_alignment(
-            edata, emst, GAConfig(niter1=500, niter2=200, lr2=0.004))
+            edata, emst, GAConfig(niter1=500, niter2=200, lr2=0.004,
+                                  jit_chunk=10))
         hold = 3
         train_cams = [i for i in range(6) if i != hold]
         core_pix = np.asarray(edata.core_pix).astype(np.int64)  # (S, 2) u,v

@@ -74,10 +74,20 @@ def condense(
     subsample: int,
     matching_conf_thr: float = 5.0,
     max_corres_per_pair: int = 0,
+    refined: Optional[Dict[Tuple[int, int], Tuple[np.ndarray,
+                                                  np.ndarray]]] = None,
 ) -> CondensedData:
     """``max_corres_per_pair`` > 0 caps each pair's correspondence slots:
     when the core grid is larger, only the top-confidence matches are kept
-    (memory cap for high-resolution grids; 0 = keep the full grid)."""
+    (memory cap for high-resolution grids; 0 = keep the full grid).
+
+    ``refined``: optional per-pair full-resolution match pixels
+    (pix1 (n,2), pix2 (n,2) from ops.matching.refine_matches). When given,
+    each correspondence endpoint becomes its refined CONTINUOUS pixel
+    anchored to its core cell with the canonical depth offset — the
+    reference's pixel-accurate anchor mechanism (make_pts3d anchors,
+    call-site reconstruct.py:380) on the product path (VERDICT r3 #4:
+    the snapped grid endpoints dominated GA ATE)."""
     h, w = image_hw
     grid, hs, ws = subsample_grid_indices(h, w, subsample)
     grid = np.asarray(grid)
@@ -95,6 +105,11 @@ def condense(
     core_depth = core_raw / np.maximum(median_depths[:, None], 1e-8)
     core_pix = np.stack([grid % w, grid // w], axis=-1).astype(np.float32)
 
+    anchored = refined is not None
+    corr_pix1 = np.zeros((p, m_slots, 2), np.float32) if anchored else None
+    corr_pix2 = np.zeros((p, m_slots, 2), np.float32) if anchored else None
+    corr_doff1 = np.zeros((p, m_slots), np.float32) if anchored else None
+    corr_doff2 = np.zeros((p, m_slots), np.float32) if anchored else None
     corr_img1 = np.zeros((p, m_slots), np.int32)
     corr_idx1 = np.zeros((p, m_slots), np.int32)
     corr_img2 = np.zeros((p, m_slots), np.int32)
@@ -119,6 +134,21 @@ def condense(
         corr_img2[k] = j
         corr_idx2[k] = np.asarray(m.idx2)[sel]
         corr_conf[k] = conf[sel].astype(np.float32)
+        if anchored:
+            pix1, pix2 = refined[(i, j)]
+            pix1 = np.asarray(pix1)[sel]
+            pix2 = np.asarray(pix2)[sel]
+            # re-anchor each continuous endpoint to the core cell that
+            # owns its pixel; depth = core_depth[cell] * canonical offset
+            for side, (vi, pix, cpix, cidx, cdoff) in enumerate((
+                    (i, pix1, corr_pix1, corr_idx1, corr_doff1),
+                    (j, pix2, corr_pix2, corr_idx2, corr_doff2))):
+                v = views[vi]
+                flat = (np.clip(pix[:, 1], 0, h - 1).astype(np.int64) * w
+                        + np.clip(pix[:, 0], 0, w - 1).astype(np.int64))
+                cidx[k] = np.asarray(v.anchor_idx).reshape(-1)[flat]
+                cdoff[k] = np.asarray(v.anchor_offset).reshape(-1)[flat]
+                cpix[k] = pix
         corr_pair[k] = k
         pair_img1[k] = i
         pair_img2[k] = j
@@ -136,4 +166,8 @@ def condense(
         pair_img1=pair_img1, pair_img2=pair_img2,
         pair_matching_ok=pair_max_conf > matching_conf_thr,
         preds21_pts=preds_pts, preds21_conf=preds_conf,
+        corr_pix1=(corr_pix1.reshape(-1, 2) if anchored else None),
+        corr_pix2=(corr_pix2.reshape(-1, 2) if anchored else None),
+        corr_doff1=(corr_doff1.reshape(-1) if anchored else None),
+        corr_doff2=(corr_doff2.reshape(-1) if anchored else None),
     )

@@ -123,6 +123,13 @@ class MatchingConfig:
     # canonical depth aggregation: 'avg-angle' (reference default,
     # reconstruct.py:101-102) or 'conf' (plain confidence weighting)
     canonical_mode: str = "avg-angle"
+    # pixel-accurate match refinement + core-cell anchoring (the
+    # reference's operative matcher is full-resolution fast_reciprocal_NNs
+    # whose matches sparse_ga anchors to the core grid — call-site
+    # reconstruct.py:380). Grid-only matching snaps endpoints by up to
+    # subsample/2 px; refinement cuts that to 0.5 px (ops.matching
+    # .refine_matches). On by default, like the reference.
+    anchor_refine: bool = True
 
 
 @dataclass(frozen=True)

@@ -31,7 +31,7 @@ from .config import Config, default_config
 from .imaging import make_pair_indices, make_sliding_window_pairs
 from .io.cache import PairCache, content_key
 from .models.mast3r import Mast3rModel, PairPrediction
-from .ops.matching import PairMatches, match_pair
+from .ops.matching import PairMatches, match_pair, refine_matches
 from .utils.metrics import MetricsLogger, Timer
 from .utils.profiling import trace_if
 
@@ -198,11 +198,21 @@ def reconstruct_scene(
     # ---- matching on the subsample grid -----------------------------------
     with timer("matching"):
         matches: Dict[Tuple[int, int], PairMatches] = {}
+        refined = {} if cfg.matching.anchor_refine else None
         for p in preds:
-            m = match_pair(jnp.asarray(p.desc1), jnp.asarray(p.desc2),
+            d1 = jnp.asarray(p.desc1)
+            d2 = jnp.asarray(p.desc2)
+            m = match_pair(d1, d2,
                            jnp.asarray(p.conf1), jnp.asarray(p.conf2),
                            subsample=cfg.matching.subsample)
             matches[(p.idx1, p.idx2)] = jax.tree_util.tree_map(np.asarray, m)
+            if refined is not None:
+                # pixel-accurate endpoints (reference fast_reciprocal_NNs
+                # accuracy) anchored to core cells in `condense`
+                pix1, pix2 = refine_matches(d1, d2, m,
+                                            subsample=cfg.matching.subsample)
+                refined[(p.idx1, p.idx2)] = (np.asarray(pix1),
+                                             np.asarray(pix2))
 
     # ---- canonical views + MST -------------------------------------------
     with timer("canonical"):
@@ -218,7 +228,8 @@ def reconstruct_scene(
     with timer("condense"):
         data = condense(views, matches, preds_21, (h, w),
                         cfg.matching.subsample, cfg.ga.matching_conf_thr,
-                        max_corres_per_pair=cfg.matching.max_corres_per_pair)
+                        max_corres_per_pair=cfg.matching.max_corres_per_pair,
+                        refined=refined)
     depth_basis = depth_coeffs = None
     if cfg.ga.lora_depth:
         if not cfg.ga.opt_depth:

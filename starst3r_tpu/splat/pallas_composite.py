@@ -1,75 +1,102 @@
 """Pallas TPU kernels for tile-based Gaussian alpha compositing.
 
-This replaces the hot inner stage of the rasterizer (the per-tile
-front-to-back compositing loop that gsplat hand-codes in CUDA,
-reference call-site starster/gs.py:76-87) with hand-scheduled TPU kernels:
+Replaces the rasterizer's hot stage — per-tile front-to-back compositing,
+forward AND backward (the part gsplat hand-codes in CUDA; reference
+call-site starster/gs.py:76-87) — with fused TPU kernels. Why they beat
+the XLA while_loop path (profiled in tools/probe_profile_step.py):
 
-  forward : one program per tile; entries stream through VMEM in chunks of
-            CH with an early-exit `while_loop` once every pixel's
-            transmittance saturates (< 1/255) or the tile's entry list is
-            exhausted — the win CUDA gets from per-pixel loop breaks.
-  backward: the gsplat-style reverse sweep. Per tile, walk the processed
-            chunks backward reconstructing each entry's transmittance
-            T_i = T_end / suffix_prod(1 - alpha) and the suffix color
-            accumulator S_i, producing exact per-entry gradients; per-entry
-            gradients are segment-summed back to per-Gaussian gradients by
-            XLA through the gather's VJP.
+  1. count-adaptive work: the XLA loop runs ceil(GLOBAL max occupancy /
+     chunk) iterations for EVERY tile; these kernels bound each tile's
+     loop by ITS OWN count (mean occupancy is ~3x below max at bench
+     scale) with the same transmittance-saturation early exit;
+  2. no HBM round-trips: the XLA backward materializes several
+     (C*T, chunk, P) f32 temporaries (205 MB each) per loop step
+     (subtract_select_fusion et al., ~35 ms/step of the profile); here
+     every intermediate lives in VMEM/vregs.
 
-Layout notes (TPU tiling): entry attributes are packed as (T, A, K) with the
-entry axis K last (lane dimension, K a multiple of 128); pixels are flat
-P = tile*tile in lanes. All compute is f32 on the VPU.
+Layout (TPU tiling): entry attributes are packed (CT, A=9, K) — K on
+lanes (multiple of 128), A on sublanes; per-tile pixel arrays are
+(P, chunk) — pixels on sublanes so each attribute row (1, chunk)
+broadcasts with no relayout; intra-chunk prefix/suffix products run as
+(P, chunk) @ (chunk, chunk) triangular matmuls on the MXU (cumprod/cumsum
+are not lowered by Mosaic, and the matmul form measured faster anyway —
+tools/probe_cum_variants.py). All in-kernel contractions run at
+Precision.HIGHEST: at the MXU's default bf16 input rounding, log-space
+transmittance sums carry ~0.4% relative error (alpha 0.999 -> log -6.9
+rounds by ~0.03), which surfaced as O(0.1-1) rgb mismatches at bench
+scale; full-f32 passes restore exact parity with the f32 oracle.
 
-The public entry `composite_entries` is a custom_vjp function with identical
-semantics to the jnp fallback in rasterize._composite_reference.
+Backward math (identical to rasterize._composite_xla_bwd, which is held
+to the autodiff oracle in tests/test_splat.py):
+    out = sum_j c_j a_j T_j,  T_j = prod_{l<j} (1 - a_l)
+    dL/dc_j = a_j T_j . g
+    dL/da_j = T_j (c_j.g) - S_j/(1-a_j) - g_T T_fin/(1-a_j)
+with S_j = sum_{l>j} c_l a_l T_l . g; T_j is reconstructed backward from
+T_fin by suffix products, walking the SAME chunks the forward processed,
+in reverse, from the forward's recorded stopping point.
+
+The public entry `composite_tiles_pallas` matches
+rasterize._composite_tiles_xla's signature/semantics exactly (camera axis
+folded into tiles; returns rgb (C,H,W,3), alpha (C,H,W)).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ("composite_entries",)
+__all__ = ("composite_tiles_pallas",)
 
-# attribute rows in the packed (T, A, K) tensor
-_A_MX, _A_MY, _A_CA, _A_CB, _A_CC, _A_CR, _A_CG, _A_CBL, _A_OP = range(9)
-_NATTR = 9
+_NATTR = 9      # mx, my, ca, cb, cc, cr, cg, cb(lue), op
 _SIGMA_MAX = 50.0
 _ALPHA_MIN = 1.0 / 255.0
 _ALPHA_MAX = 0.999
-_T_MIN = 1.0 / 255.0
+# transmittance saturation threshold (same value/reasoning as the XLA
+# path's rasterize._TEXIT): keeps the kernels within the 1e-5 parity
+# tolerance of the autodiff oracle
+_TEXIT = 1e-6
+
+TB = 8          # tiles per program: amortizes grid/DMA overhead
 
 
-def _pix_coords(tile: int, tw: int):
-    """Per-tile pixel coordinates relative helpers (static)."""
-    p = tile * tile
-    pix = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
-    px = (pix % tile).astype(jnp.float32)
-    py = (pix // tile).astype(jnp.float32)
-    return px, py  # (1, P) each, tile-local
+def _tri(ch: int, mode: str):
+    """(ch, ch) f32 triangular operators for LANE-dim prefix/suffix sums:
+    right-multiplying (P, ch) @ tri. mode 'pref_incl': out[:, i] =
+    sum_{j <= i} x[:, j]; 'suf_incl': out[:, i] = sum_{j >= i} x[:, j]."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 0)   # j (row = input)
+    c = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 1)   # i (col = output)
+    if mode == "pref_incl":
+        return (r <= c).astype(jnp.float32)
+    return (r >= c).astype(jnp.float32)
 
 
-def _chunk_alpha(attr_ref, c0, ch, px, py):
-    """alpha (ch, P) for entries [c0, c0+ch) of a tile.
+def _chunk_alpha(attr_ref, j: int, i, px, py):
+    """Alpha for chunk i of tile j against the tile's pixels.
 
-    attr_ref: (1, A, K) VMEM ref; px/py: (1, P) absolute pixel centers.
-    Slices the REF with pl.ds (Mosaic has no dynamic_slice on values).
-    """
-    c0 = pl.multiple_of(c0, 128)                # lane-dim slices need 128x
-    a = attr_ref[0, :, pl.ds(c0, ch)]           # (A, ch)
-    mx = a[_A_MX][:, None]                      # (ch, 1)
-    my = a[_A_MY][:, None]
-    ca = a[_A_CA][:, None]
-    cb = a[_A_CB][:, None]
-    cc = a[_A_CC][:, None]
-    op = a[_A_OP][:, None]
-    dx = px - mx                                # (ch, P)
+    attr_ref: (TB, NC, A, 128) VMEM ref — the chunk axis is a LEADING
+    dim: dynamic LANE-dim slices (attr[:, ds(i*128, 128)]) were observed
+    to compile to wrong results on real TPUs for traced i (parity exact
+    in interpret mode and for single-chunk tiles; rgb off by O(1) at
+    multi-chunk scale — both the round-3 kernel and the first round-4
+    kernel failed identically), while dynamic indexing of a leading dim
+    is well-supported. px/py: (P, 1) absolute pixel centers.
+    Returns (alpha (P,ch), a (A,ch), dx, dy, expsig, ok, raw)."""
+    a = attr_ref[j, i]                           # (A, ch)
+    mx = a[0:1]                                  # (1, ch) — broadcasts
+    my = a[1:2]
+    ca = a[2:3]
+    cb = a[3:4]
+    cc = a[4:5]
+    op = a[8:9]
+    dx = px - mx                                 # (P, ch)
     dy = py - my
     sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+    # clip BEFORE exp: exp(-sigma) for large negative sigma overflows to
+    # inf in the untaken where-branch and its VJP yields 0 * inf = NaN
     expsig = jnp.exp(-jnp.clip(sigma, 0.0, _SIGMA_MAX))
     raw = op * expsig
     ok = (sigma >= 0.0) & (raw > _ALPHA_MIN)
@@ -77,260 +104,269 @@ def _chunk_alpha(attr_ref, c0, ch, px, py):
     return alpha, a, dx, dy, expsig, ok, raw
 
 
-
-def _tri_mats(ch: int):
-    """Triangular matmul operators replacing cum{prod,sum} (not lowered by
-    Mosaic): Linc[i,j]=1 for j<=i (inclusive prefix), Usuf[i,j]=1 for j>=i
-    (inclusive suffix). (ch, ch) f32 — the cumulative ops become MXU matmuls.
-    """
-    r = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 0)
-    cidx = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 1)
-    linc = (cidx <= r).astype(jnp.float32)
-    usuf = (cidx >= r).astype(jnp.float32)
-    return linc, usuf
-
-
-def _fwd_kernel(count_ref, attr_ref, rgb_ref, tfin_ref, chunks_ref,
+def _fwd_kernel(counts_ref, attr_ref, rgb_ref, tfin_ref, done_ref,
                 *, tile: int, tw: int, th: int, k: int, ch: int):
-    # grid is C*T tiles (cameras folded in); pixel origin depends only on
-    # the within-camera tile index
-    t_id = pl.program_id(0) % (tw * th)
-    x0 = (t_id % tw) * tile
-    y0 = (t_id // tw) * tile
-    pxl, pyl = _pix_coords(tile, tw)
-    px = pxl + x0.astype(jnp.float32) + 0.5
-    py = pyl + y0.astype(jnp.float32) + 0.5
-
-    count = count_ref[pl.program_id(0)]
-    n_chunks = pl.cdiv(count, ch)
     p = tile * tile
+    t_per_cam = tw * th
+    pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    pxl = (pix % tile).astype(jnp.float32)       # (P, 1) tile-local
+    pyl = (pix // tile).astype(jnp.float32)
+    pref_m = _tri(ch, "pref_incl")
 
-    def cond(carry):
-        i, _rgb, t = carry
-        return (i < n_chunks) & (jnp.max(t) > _T_MIN)
+    dones = []
+    for j in range(TB):
+        g_tid = pl.program_id(0) * TB + j        # global (cam-folded) tile
+        t_id = g_tid % t_per_cam
+        x0 = (t_id % tw) * tile
+        y0 = (t_id // tw) * tile
+        px = pxl + x0.astype(jnp.float32) + 0.5
+        py = pyl + y0.astype(jnp.float32) + 0.5
+        count = counts_ref[g_tid]
+        n_chunks = pl.cdiv(count, ch)
 
-    def body(carry):
-        i, acc, t = carry
-        alpha, a, _dx, _dy, _es, _ok, _raw = _chunk_alpha(
-            attr_ref, i * ch, ch, px, py)
-        # mask entries beyond count
-        ent = jax.lax.broadcasted_iota(jnp.int32, (ch, 1), 0) + i * ch
-        alpha = jnp.where(ent < count, alpha, 0.0)
-        one_m = 1.0 - alpha                      # (ch, P)
-        linc, _ = _tri_mats(ch)
-        log_om = jnp.log(one_m)                  # one_m in [1e-3, 1]
-        pref = jnp.dot(linc, log_om,
-                       preferred_element_type=jnp.float32)  # inclusive
-        cum = jnp.exp(pref)
-        cum_excl = jnp.exp(pref - log_om)
-        wgt = alpha * cum_excl * t               # (ch, P)
-        cr = a[_A_CR][:, None]
-        cg = a[_A_CG][:, None]
-        cbl = a[_A_CBL][:, None]
-        acc = acc + jnp.stack([
-            jnp.sum(wgt * cr, axis=0),
-            jnp.sum(wgt * cg, axis=0),
-            jnp.sum(wgt * cbl, axis=0)], axis=0)  # (3, P)
-        t = t * cum[-1:]
-        return i + 1, acc, t
+        def cond(carry):
+            i, _acc, t = carry
+            return (i < n_chunks) & (jnp.max(t) > _TEXIT)
 
-    init = (jnp.asarray(0, jnp.int32),
-            jnp.zeros((3, p), jnp.float32),
-            jnp.ones((1, p), jnp.float32))
-    done, rgb, tfin = jax.lax.while_loop(cond, body, init)
-    rgb_ref[0] = rgb
-    tfin_ref[0] = tfin
-    chunks_ref[0] = jnp.full((8, 128), done, jnp.int32)
+        def body(carry):
+            i, acc, t = carry                    # acc (P,3), t (P,1)
+            alpha, a, _dx, _dy, _es, _ok, _raw = _chunk_alpha(
+                attr_ref, j, i, px, py)
+            log_om = jnp.log1p(-alpha)           # (P, ch), one_m >= 1e-3
+            pref = jnp.dot(log_om, pref_m,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+            cum_excl = jnp.exp(pref - log_om)
+            wgt = alpha * cum_excl * t           # (P, ch)
+            ccol = a[5:8]                        # (3, ch)
+            acc = acc + jax.lax.dot_general(
+                wgt, ccol, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)     # (P, 3)
+            t = t * jnp.exp(pref[:, ch - 1:ch])
+            return i + 1, acc, t
+
+        init = (jnp.asarray(0, jnp.int32),
+                jnp.zeros((p, 3), jnp.float32),
+                jnp.ones((p, 1), jnp.float32))
+        done, acc, t = jax.lax.while_loop(cond, body, init)
+        rgb_ref[j] = acc.T                       # (3, P)
+        tfin_ref[j] = t.T                        # (1, P)
+        dones.append(done)
+    done_ref[:, :] = jnp.stack(dones).reshape(TB, 1)
 
 
-def _bwd_kernel(count_ref, chunks_ref, attr_ref, tfin_ref, grgb_ref,
+def _bwd_kernel(counts_ref, done_ref, attr_ref, tfin_ref, grgb_ref,
                 gtfin_ref, gattr_ref, *, tile: int, tw: int, th: int,
                 k: int, ch: int):
-    """Reverse sweep over the chunks the forward actually processed.
-
-    Derivation (out = sum_j c_j a_j T_j with T_j = prod_{l<j}(1-a_l)):
-      dL/dc_j     = a_j T_j . g
-      dL/da_j     = T_j (c_j.g) - S_j / (1-a_j) - g_T T_fin / (1-a_j)
-                    where S_j = sum_{l>j} c_l a_l T_l . g and g_T is the
-                    cotangent of the T_final output (alpha channel).
-    T_j is reconstructed backward from T_final via suffix products.
-    """
-    t_id = pl.program_id(0) % (tw * th)
-    x0 = (t_id % tw) * tile
-    y0 = (t_id // tw) * tile
-    pxl, pyl = _pix_coords(tile, tw)
-    px = pxl + x0.astype(jnp.float32) + 0.5
-    py = pyl + y0.astype(jnp.float32) + 0.5
-
-    count = count_ref[pl.program_id(0)]
-    done = chunks_ref[pl.program_id(0)]
-    tfin = tfin_ref[0]                           # (1, P)
-    g = grgb_ref[0]                              # (3, P)
-    gtf = gtfin_ref[0]                           # (1, P) dL/dT_final
-
-    gattr_ref[0] = jnp.zeros_like(gattr_ref[0])
-
-    def body(step, carry):
-        t_after, s_carry = carry                 # both (1, P)
-        i = jnp.maximum(done - 1 - step, 0)      # chunk index (clamped)
-        live = step < done
-
-        alpha, a, dx, dy, expsig, ok, raw = _chunk_alpha(
-            attr_ref, i * ch, ch, px, py)
-        ent = jax.lax.broadcasted_iota(jnp.int32, (ch, 1), 0) + i * ch
-        in_count = ent < count
-        alpha = jnp.where(in_count, alpha, 0.0)
-        one_m = 1.0 - alpha                      # (ch, P)
-        _, usuf = _tri_mats(ch)
-        # rev_cum[j] = prod_{l >= j, same chunk} (1 - alpha_l)
-        rev_cum = jnp.exp(jnp.dot(usuf, jnp.log(one_m),
-                                  preferred_element_type=jnp.float32))
-        # transmittance BEFORE entry j: divide the post-chunk value by the
-        # suffix product from j on
-        t_j = t_after / jnp.maximum(rev_cum, 1e-30)
-        cr = a[_A_CR][:, None]
-        cg = a[_A_CG][:, None]
-        cbl = a[_A_CBL][:, None]
-        cdotg = cr * g[0:1] + cg * g[1:2] + cbl * g[2:3]   # (ch, P)
-        w_j = alpha * t_j
-        contrib = w_j * cdotg
-        suf_incl = jnp.dot(usuf, contrib,
-                           preferred_element_type=jnp.float32)  # sum_{l>=j}
-        s_j = (suf_incl - contrib) + s_carry                # sum_{l>j} global
-        inv_one_m = 1.0 / jnp.maximum(one_m, 1e-3)
-        dalpha = t_j * cdotg - s_j * inv_one_m - gtf * tfin * inv_one_m
-        # alpha clipped at ALPHA_MAX or culled: no grad through sigma/op
-        interior = ok & (raw < _ALPHA_MAX) & in_count
-        draw = jnp.where(interior, dalpha, 0.0)
-        op = a[_A_OP][:, None]
-        dsigma = -draw * raw                                # (ch, P)
-        ca = a[_A_CA][:, None]
-        cb = a[_A_CB][:, None]
-        cc = a[_A_CC][:, None]
-        d_mx = jnp.sum(dsigma * (-(ca * dx + cb * dy)), axis=1)
-        d_my = jnp.sum(dsigma * (-(cc * dy + cb * dx)), axis=1)
-        d_ca = jnp.sum(dsigma * 0.5 * dx * dx, axis=1)
-        d_cb = jnp.sum(dsigma * dx * dy, axis=1)
-        d_cc = jnp.sum(dsigma * 0.5 * dy * dy, axis=1)
-        d_op = jnp.sum(draw * expsig, axis=1)
-        wmask = jnp.where(in_count, w_j, 0.0)
-        d_cr = jnp.sum(wmask * g[0:1], axis=1)
-        d_cg = jnp.sum(wmask * g[1:2], axis=1)
-        d_cbl = jnp.sum(wmask * g[2:3], axis=1)
-        grad_rows = jnp.stack(
-            [d_mx, d_my, d_ca, d_cb, d_cc, d_cr, d_cg, d_cbl, d_op],
-            axis=0)                                         # (A, ch)
-
-        @pl.when(live)
-        def _():
-            off = pl.multiple_of(i * ch, 128)
-            gattr_ref[0, :, pl.ds(off, ch)] = grad_rows
-
-        new_t_after = t_after / jnp.maximum(rev_cum[0:1], 1e-30)
-        new_s = s_carry + suf_incl[0:1]
-        t_after = jnp.where(live, new_t_after, t_after)
-        s_carry = jnp.where(live, new_s, s_carry)
-        return (t_after, s_carry)
-
     p = tile * tile
-    max_chunks = pl.cdiv(k, ch)
-    jax.lax.fori_loop(
-        0, max_chunks, body,
-        (tfin, jnp.zeros((1, p), jnp.float32)))
+    t_per_cam = tw * th
+    pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    pxl = (pix % tile).astype(jnp.float32)
+    pyl = (pix // tile).astype(jnp.float32)
+    suf_m = _tri(ch, "suf_incl")
+
+    gattr_ref[...] = jnp.zeros(gattr_ref.shape, gattr_ref.dtype)
+
+    for j in range(TB):
+        g_tid = pl.program_id(0) * TB + j
+        t_id = g_tid % t_per_cam
+        x0 = (t_id % tw) * tile
+        y0 = (t_id // tw) * tile
+        px = pxl + x0.astype(jnp.float32) + 0.5
+        py = pyl + y0.astype(jnp.float32) + 0.5
+        done = done_ref[g_tid]
+        tfin = tfin_ref[j].T                     # (P, 1)
+        g = grgb_ref[j].T                        # (P, 3)
+        gtf = gtfin_ref[j].T                     # (P, 1) dL/dT_final
+        gt_term = gtf * tfin                     # (P, 1)
+
+        def cond(carry):
+            step, _t, _s = carry
+            return step < done
+
+        def body(carry):
+            step, t_after, s_carry = carry       # t/s: (P, 1)
+            i = done - 1 - step                  # walk chunks in reverse
+            alpha, a, dx, dy, expsig, ok, raw = _chunk_alpha(
+                attr_ref, j, i, px, py)
+            one_m = 1.0 - alpha
+            # rev_cum[:, i] = prod_{l >= i, same chunk} (1 - alpha_l)
+            rev_cum = jnp.exp(jnp.dot(
+                jnp.log1p(-alpha), suf_m,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST))
+            t_j = t_after / jnp.maximum(rev_cum, 1e-30)      # (P, ch)
+            ccol = a[5:8]                        # (3, ch)
+            cdotg = jnp.dot(g, ccol,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+            w_j = alpha * t_j
+            contrib = w_j * cdotg
+            suf_incl = jnp.dot(contrib, suf_m,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+            s_j = (suf_incl - contrib) + s_carry
+            inv_1m = 1.0 / jnp.maximum(one_m, 1e-3)
+            # d trans_fin / d alpha_j = -t_fin / (1 - alpha_j)
+            dalpha = t_j * cdotg - s_j * inv_1m - gt_term * inv_1m
+            # alpha clipped at ALPHA_MAX or culled: no grad through
+            # sigma/opacity there
+            interior = ok & (raw < _ALPHA_MAX)
+            draw = jnp.where(interior, dalpha, 0.0)
+            dsigma = -draw * raw                 # (P, ch)
+            ca = a[2:3]
+            cb = a[3:4]
+            cc = a[4:5]
+            d_mx = jnp.sum(dsigma * (-(ca * dx + cb * dy)), axis=0,
+                           keepdims=True)        # (1, ch)
+            d_my = jnp.sum(dsigma * (-(cc * dy + cb * dx)), axis=0,
+                           keepdims=True)
+            d_ca = jnp.sum(dsigma * (0.5 * dx * dx), axis=0, keepdims=True)
+            d_cb = jnp.sum(dsigma * (dx * dy), axis=0, keepdims=True)
+            d_cc = jnp.sum(dsigma * (0.5 * dy * dy), axis=0, keepdims=True)
+            d_op = jnp.sum(draw * expsig, axis=0, keepdims=True)
+            d_col = jnp.dot(g.T, w_j,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+            grad_rows = jnp.concatenate(
+                [d_mx, d_my, d_ca, d_cb, d_cc, d_col, d_op], axis=0)
+            gattr_ref[j, i] = grad_rows
+            t_after = t_after / jnp.maximum(rev_cum[:, 0:1], 1e-30)
+            s_carry = s_carry + suf_incl[:, 0:1]
+            return (step + 1, t_after, s_carry)
+
+        # count-bounded reverse walk: only the chunks the forward actually
+        # processed (`done` per tile) are revisited — a fori to the static
+        # max chunk count wasted ~40% of the backward at bench scale
+        jax.lax.while_loop(
+            cond, body,
+            (jnp.asarray(0, jnp.int32), tfin,
+             jnp.zeros((p, 1), jnp.float32)))
 
 
-def _pack_attr(g_mean, g_conic, g_color, g_op):
-    """(..., K, 2), (..., K, 3), (..., K, 3), (..., K) -> (..., A, K) f32."""
-    return jnp.stack([
-        g_mean[..., 0], g_mean[..., 1],
-        g_conic[..., 0], g_conic[..., 1], g_conic[..., 2],
-        g_color[..., 0], g_color[..., 1], g_color[..., 2],
-        g_op], axis=-2)
+def _pack_attr(g_mean, g_conic, g_color, g_op, ch: int):
+    """(CT, K, 2/3/3) + (CT, K) -> (CT, NC, A=9, ch) f32 — the K entry
+    axis is split into NC leading chunks of ch so the kernels never take
+    a dynamic lane-dim slice (see _chunk_alpha)."""
+    ct, k = g_op.shape
+    nc = k // ch
+    rows = [g_mean[..., 0], g_mean[..., 1],
+            g_conic[..., 0], g_conic[..., 1], g_conic[..., 2],
+            g_color[..., 0], g_color[..., 1], g_color[..., 2],
+            g_op]
+    return jnp.stack([r.reshape(ct, nc, ch) for r in rows], axis=-2)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def composite_entries(attr, counts, tile: int, tw: int, th: int, ch: int):
-    """Composite packed per-tile entries.
-
-    attr: (T, A, K) packed entry attributes (depth-sorted per tile).
-    counts: (T,) int32 number of valid entries per tile.
-    Returns (rgb (T, 3, P), tfin (T, 1, P)).
-    """
+def _composite_attr(attr, counts, tile: int, tw: int, th: int, ch: int):
+    """attr (CT, A, K) depth-sorted packed entries; counts (CT,) int32.
+    Returns (rgb (CT, 3, P), tfin (CT, 1, P))."""
     rgb, tfin, _ = _run_fwd(attr, counts, tile, tw, th, ch)
     return rgb, tfin
 
 
 def _run_fwd(attr, counts, tile, tw, th, ch):
-    t_total, a_dim, k = attr.shape
+    ct, nc, a_dim, chs = attr.shape
+    k = nc * chs
     p = tile * tile
     kern = functools.partial(_fwd_kernel, tile=tile, tw=tw, th=th, k=k,
                              ch=ch)
-    # counts rides as a scalar-prefetch arg (SMEM, unpadded); the per-tile
-    # chunks-done counter is a (1, 8, 128)-blocked VMEM output (min tile)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(t_total,),
+        grid=(ct // TB,),
         in_specs=[
-            pl.BlockSpec((1, a_dim, k), lambda i, c_ref: (i, 0, 0),
+            pl.BlockSpec((TB, nc, a_dim, chs), lambda i, c: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 3, p), lambda i, c_ref: (i, 0, 0),
+            pl.BlockSpec((TB, 3, p), lambda i, c: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p), lambda i, c_ref: (i, 0, 0),
+            pl.BlockSpec((TB, 1, p), lambda i, c: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda i, c_ref: (i, 0, 0),
+            pl.BlockSpec((TB, 1), lambda i, c: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
-    rgb, tfin, chunks = pl.pallas_call(
+    rgb, tfin, done = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((t_total, 3, p), jnp.float32),
-            jax.ShapeDtypeStruct((t_total, 1, p), jnp.float32),
-            jax.ShapeDtypeStruct((t_total, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((ct, 3, p), jnp.float32),
+            jax.ShapeDtypeStruct((ct, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((ct, 1), jnp.int32),
         ],
         interpret=jax.default_backend() != "tpu",
     )(counts, attr)
-    return rgb, tfin, chunks[:, 0, 0]
+    return rgb, tfin, done[:, 0]
 
 
 def _fwd_rule(attr, counts, tile, tw, th, ch):
-    rgb, tfin, chunks = _run_fwd(attr, counts, tile, tw, th, ch)
-    return (rgb, tfin), (attr, counts, tfin, chunks)
+    rgb, tfin, done = _run_fwd(attr, counts, tile, tw, th, ch)
+    return (rgb, tfin), (attr, counts, tfin, done)
 
 
 def _bwd_rule(tile, tw, th, ch, res, grads):
-    attr, counts, tfin, chunks = res
+    attr, counts, tfin, done = res
     grgb, gtfin = grads
-    t_total, a_dim, k = attr.shape
+    ct, nc, a_dim, chs = attr.shape
+    k = nc * chs
     p = tile * tile
     kern = functools.partial(_bwd_kernel, tile=tile, tw=tw, th=th, k=k,
                              ch=ch)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,   # counts, chunks
-        grid=(t_total,),
+        num_scalar_prefetch=2,   # counts, done
+        grid=(ct // TB,),
         in_specs=[
-            pl.BlockSpec((1, a_dim, k), lambda i, c0, c1: (i, 0, 0),
+            pl.BlockSpec((TB, nc, a_dim, chs),
+                         lambda i, c0, c1: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p), lambda i, c0, c1: (i, 0, 0),
+            pl.BlockSpec((TB, 1, p), lambda i, c0, c1: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, p), lambda i, c0, c1: (i, 0, 0),
+            pl.BlockSpec((TB, 3, p), lambda i, c0, c1: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p), lambda i, c0, c1: (i, 0, 0),
+            pl.BlockSpec((TB, 1, p), lambda i, c0, c1: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, a_dim, k), lambda i, c0, c1: (i, 0, 0),
+        out_specs=pl.BlockSpec((TB, nc, a_dim, chs),
+                               lambda i, c0, c1: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     gattr = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t_total, a_dim, k), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((ct, nc, a_dim, chs), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(counts, chunks, attr, tfin, grgb, gtfin)
+    )(counts, done, attr, tfin, grgb, gtfin)
     return gattr, None
 
 
-composite_entries.defvjp(_fwd_rule, _bwd_rule)
+_composite_attr.defvjp(_fwd_rule, _bwd_rule)
+
+
+def composite_tiles_pallas(g_mean, g_conic, g_color, g_op, counts, h: int,
+                           w: int, tile: int, tw: int, th: int, chunk: int):
+    """Fused-kernel compositing over ALL cameras at once (drop-in for
+    rasterize._composite_tiles_xla).
+
+    g_* are (C, T, K, ...); cameras fold into the tile axis. Requires
+    K % 128 == 0 and (C*T) % TB == 0 — rasterize falls back to the XLA
+    path otherwise. Returns rgb (C,H,W,3), alpha (C,H,W)."""
+    c, t_total, kk = g_op.shape
+    flat = lambda x: x.reshape((c * t_total,) + x.shape[2:])
+    attr = _pack_attr(flat(g_mean), flat(g_conic), flat(g_color),
+                      flat(g_op), 128)                  # (CT, NC, A, 128)
+    # chunk is pinned to 128: lane-dim slices must be 128-aligned, and the
+    # K % 128 == 0 precondition guarantees a whole number of chunks. The
+    # caller's smaller `chunk` (an XLA-path tuning knob) is ignored here —
+    # entries beyond a tile's count carry opacity 0, so chunk size never
+    # changes results.
+    rgb_t, tfin_t = _composite_attr(attr, counts.reshape(-1).astype(
+        jnp.int32), tile, tw, th, 128)
+    rgb_t = rgb_t.reshape(c, th, tw, 3, tile, tile)
+    rgb = rgb_t.transpose(0, 1, 4, 2, 5, 3).reshape(
+        c, th * tile, tw * tile, 3)[:, :h, :w]
+    a_t = (1.0 - tfin_t).reshape(c, th, tw, tile, tile)
+    alpha = a_t.transpose(0, 1, 3, 2, 4).reshape(
+        c, th * tile, tw * tile)[:, :h, :w]
+    return rgb, alpha

@@ -96,25 +96,46 @@ def project_gaussians(means, quats, scales, opacities, sh, w2c, K,
     v = fy * cam_pts[:, 1] / zc + cy
     means2d = jnp.stack([u, v], -1)
 
-    # 3D covariance
-    Rq = quat_to_rotmat_wxyz(quats)                 # (N, 3, 3)
-    M = Rq * scales[:, None, :]                     # R @ diag(s)
-    cov3d = M @ jnp.swapaxes(M, -1, -2)             # (N, 3, 3)
+    # 2D covariance cov2d = J W (M M^T) W^T J^T expanded to ELEMENTWISE
+    # f32 formulas on (N,) arrays: the batched tiny-matrix (3x3 / 2x3)
+    # matmul chain lowered to bf16 MXU convolutions plus ~13 ms/step of
+    # layout copies at bench scale (tools/probe_profile_step.py traces:
+    # convolution_bitcast_fusion + (2,128)-tiled copies), and bf16 loses
+    # geometry precision; the expansion fuses into one VPU kernel.
+    # M = R_q diag(s); M2 = W M, so cov_cam = M2 M2^T (6 unique entries).
+    q = quats * jax.lax.rsqrt(jnp.sum(quats * quats, axis=-1,
+                                      keepdims=True) + 1e-24)
+    qw, qx, qy, qz = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    r00 = 1 - 2 * (qy * qy + qz * qz)
+    r01 = 2 * (qx * qy - qw * qz)
+    r02 = 2 * (qx * qz + qw * qy)
+    r10 = 2 * (qx * qy + qw * qz)
+    r11 = 1 - 2 * (qx * qx + qz * qz)
+    r12 = 2 * (qy * qz - qw * qx)
+    r20 = 2 * (qx * qz - qw * qy)
+    r21 = 2 * (qy * qz + qw * qx)
+    r22 = 1 - 2 * (qx * qx + qy * qy)
+    s0, s1, s2 = scales[:, 0], scales[:, 1], scales[:, 2]
+    # m2[a][k] = sum_b W[a,b] * r_bk * s_k   (W = R, camera scalars)
+    m2 = [[(R[a, 0] * rb0 + R[a, 1] * rb1 + R[a, 2] * rb2) * s
+           for rb0, rb1, rb2, s in ((r00, r10, r20, s0),
+                                    (r01, r11, r21, s1),
+                                    (r02, r12, r22, s2))]
+          for a in range(3)]
+    sig = [[sum(m2[a][k] * m2[b][k] for k in range(3))
+            for b in range(3)] for a in range(3)]
 
-    # perspective Jacobian (2, 3) per gaussian
     x_, y_ = cam_pts[:, 0], cam_pts[:, 1]
-    z2 = zc * zc
-    J = jnp.zeros((means.shape[0], 2, 3), means.dtype)
-    J = J.at[:, 0, 0].set(fx / zc)
-    J = J.at[:, 0, 2].set(-fx * x_ / z2)
-    J = J.at[:, 1, 1].set(fy / zc)
-    J = J.at[:, 1, 2].set(-fy * y_ / z2)
-
-    W = jnp.broadcast_to(R, (means.shape[0], 3, 3))
-    cov2d = J @ W @ cov3d @ jnp.swapaxes(W, -1, -2) @ jnp.swapaxes(J, -1, -2)
-    a = cov2d[:, 0, 0] + eps2d
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1] + eps2d
+    j00 = fx / zc
+    j02 = -fx * x_ / (zc * zc)
+    j11 = fy / zc
+    j12 = -fy * y_ / (zc * zc)
+    a = (j00 * j00 * sig[0][0] + 2 * j00 * j02 * sig[0][2]
+         + j02 * j02 * sig[2][2]) + eps2d
+    b = (j00 * j11 * sig[0][1] + j00 * j12 * sig[0][2]
+         + j02 * j11 * sig[1][2] + j02 * j12 * sig[2][2])
+    c = (j11 * j11 * sig[1][1] + 2 * j11 * j12 * sig[1][2]
+         + j12 * j12 * sig[2][2]) + eps2d
     det = jnp.maximum(a * c - b * b, 1e-12)
     conics = jnp.stack([c / det, -b / det, a / det], -1)
 
@@ -228,23 +249,54 @@ def _bin_gaussians(proj: Projected, tw: int, th: int, tile: int,
     # entries, so the grouped payload reshapes to (N, max_tiles)
     _, bw_flat = jax.lax.sort((sorted_idx, lin), num_keys=1)
     bw_idx = bw_flat.reshape(n, max_tiles)
-    return sorted_idx, starts, bw_idx, counts, overflow, n_clipped, max_count
+
+    # pre-resolve the per-(tile, slot) sorted-entry positions + validity:
+    # they depend only on the binning (NOT on attribute values), so the
+    # (tile, slot) -> Gaussian-id gather happens ONCE per rebin — not in
+    # every training step (was ~12.7 ms/step at bench scale, profiled
+    # tools/probe_profile_step.py). The gather itself runs OUTSIDE the
+    # per-camera vmap (_resolve_gidx: one flat gather is 2.3x faster than
+    # the batched form), so this function returns (sorted_idx, ent).
+    slot_ids = jnp.arange(max_per_tile, dtype=jnp.int32)   # (K,)
+    ent = starts[:-1, None] + slot_ids[None, :]            # (T, K)
+    ent_valid = ent < starts[1:, None]
+    ent = jnp.minimum(ent, l - 1)
+    return (sorted_idx, ent, ent_valid, bw_idx, counts, overflow,
+            n_clipped, max_count)
+
+
+def _resolve_gidx(sorted_idx, ent):
+    """(C, L) sorted Gaussian ids x (C, T, K) entry positions -> (C, T, K)
+    Gaussian ids, as ONE camera-flattened gather (vmapped gathers lower
+    per batch element on TPU and run 2.3x slower at bench scale)."""
+    c, l = sorted_idx.shape
+    ent_g = ent + (jnp.arange(c, dtype=jnp.int32) * l)[:, None, None]
+    return sorted_idx.reshape(-1)[ent_g.reshape(-1)].reshape(ent.shape)
 
 
 @jax.custom_vjp
 def _gather_packed(packed, gidx, ent_valid, bw_idx):
-    """``packed[gidx] * ent_valid`` with a scatter-free backward.
+    """Global ``packed[gidx] * ent_valid`` with a scatter-free backward.
 
-    The autodiff VJP of this gather is a scatter-add of T*K rows into
-    (N, 9) — TPU scatters serialize (197 ms at bench scale,
-    tools/probe_gather_bwd.py). Instead, ``bw_idx`` (N, max_tiles) holds
-    each Gaussian's entry positions in the (T*K) cotangent layout,
-    PRE-COMPOSED by _bin_gaussians' second sort (sentinel T*K for dropped
-    entries), so the backward is one dense row-gather from the
-    zero-row-padded cotangent plus a fixed-length sum — measured 4x faster
-    than gathering the L-sized regroup (tools/probe_gather_variants.py
-    V2 vs V1: 50 ms vs 196 ms at bench scale)."""
-    ga = packed[gidx]                                     # (T, K, 9)
+    GLOBAL = all cameras share one flat gather: packed (C*N, 9) rows are
+    indexed by camera-offset ids — a single big gather measured 2.3x
+    faster on TPU than the per-camera vmapped form (13.3 vs 5.7 ms at
+    bench scale; XLA lowers the vmapped gather per batch element).
+
+    The autodiff VJP of this gather is a scatter-add of C*T*K rows into
+    (C*N, 9) — TPU scatters serialize (197 ms at bench scale,
+    tools/probe_gather_bwd.py). Instead, ``bw_idx`` (C*N, max_tiles) holds
+    each Gaussian's entry positions in the GLOBAL (C*T*K) cotangent
+    layout, PRE-COMPOSED by _bin_gaussians' second sort (sentinel row
+    C*T*K for dropped entries), so the backward is one dense row-gather
+    from the zero-row-padded cotangent plus a fixed-length sum — measured
+    4x faster than gathering the L-sized regroup
+    (tools/probe_gather_variants.py V2 vs V1: 50 vs 196 ms).
+
+    packed (C*N, 9); gidx (C, T, K) global row ids; ent_valid (C, T, K);
+    bw_idx (C*N, E) global cotangent rows. Returns (C, T, K, 9)."""
+    c, t, k = gidx.shape
+    ga = packed[gidx.reshape(-1)].reshape(c, t, k, packed.shape[-1])
     return jnp.where(ent_valid[..., None], ga, 0.0)
 
 
@@ -255,48 +307,56 @@ def _gather_packed_fwd(packed, gidx, ent_valid, bw_idx):
 
 def _gather_packed_bwd(res, g):
     (bw_idx,) = res
-    tk = g.shape[0] * g.shape[1]
-    a = g.shape[-1]
+    c, t, k, a = g.shape
     g2 = jnp.concatenate(
-        [g.reshape(tk, a), jnp.zeros((1, a), g.dtype)], axis=0)
+        [g.reshape(c * t * k, a), jnp.zeros((1, a), g.dtype)], axis=0)
     d_packed = g2[bw_idx.reshape(-1)].reshape(
-        bw_idx.shape[0], bw_idx.shape[1], a).sum(axis=1)  # (N, 9)
+        bw_idx.shape[0], bw_idx.shape[1], a).sum(axis=1)  # (C*N, 9)
     return d_packed, None, None, None
 
 
 _gather_packed.defvjp(_gather_packed_fwd, _gather_packed_bwd)
 
 
-def _gather_entries(proj: Projected, sorted_idx, starts, bw_idx,
-                    max_per_tile: int):
-    """Gather per-tile entry attributes.
+def _globalize_bins(gidx, ent_valid, bw_idx, n: int, max_per_tile: int):
+    """Per-camera bin indices -> global flat-gather indices.
+
+    gidx (C,T,K) per-camera Gaussian ids -> rows of the (C*N, 9) packed
+    matrix; bw_idx (C,N,E) per-camera (T*K with sentinel T*K) -> rows of
+    the global (C*T*K + 1) cotangent (single shared zero row at the end).
+    """
+    c, t, k = gidx.shape
+    cam = jnp.arange(c, dtype=jnp.int32)
+    gidx_g = gidx + (cam * n)[:, None, None]
+    tk = t * k
+    sent = bw_idx >= tk                     # per-camera zero-row sentinel
+    bw_g = jnp.where(sent, c * tk, bw_idx + (cam * tk)[:, None, None])
+    return gidx_g, ent_valid, bw_g.reshape(c * bw_idx.shape[1],
+                                           bw_idx.shape[2])
+
+
+def _gather_entries(proj_packed, gidx_g, ent_valid, bw_idx_g):
+    """Gather per-tile entry attributes from the camera-flattened packed
+    attribute matrix.
 
     All 9 per-Gaussian attributes (mean2d, conic, color, opacity) are packed
-    into ONE (N, 9) matrix and gathered once — measured 2.4x faster than
-    four separate gathers on TPU (tools/probe_projbin_variants.py); the
-    unpacking slices fuse into the consumers. The gather rides
-    `_gather_packed` for its scatter-free custom backward.
+    into ONE (C*N, 9) matrix and gathered once globally — measured 2.4x
+    faster than four separate gathers (tools/probe_projbin_variants.py) and
+    another 2.3x from de-vmapping (see _gather_packed); the unpacking
+    slices fuse into the consumers. The (tile, slot) -> Gaussian-id
+    resolution (``gidx``/``ent_valid``) is precomputed by `_bin_gaussians`
+    (attribute-independent, so it rides the Bins reuse across steps).
 
-    Opacity is validity-masked BEFORE packing so stale bins (rebinning
-    every N steps, SplatConfig.rebin_every) cannot composite a Gaussian
-    that has since been culled (z <= near or opacity below threshold).
+    Opacity is validity-masked BEFORE packing (upstream) so stale bins
+    (rebinning every N steps) cannot composite a culled Gaussian.
 
-    Returns (g_mean (T,K,2), g_conic (T,K,3), g_color (T,K,3),
-    g_op (T,K) zeroed beyond each tile's count)."""
-    slot = jnp.arange(max_per_tile, dtype=jnp.int32)      # (K,)
-    ent = starts[:-1, None] + slot[None, :]               # (T, K)
-    ent_valid = ent < starts[1:, None]
-    ent = jnp.minimum(ent, sorted_idx.shape[0] - 1)
-    gidx = sorted_idx[ent]                                # (T, K)
-    packed = jnp.concatenate(
-        [proj.means2d, proj.conics, proj.colors,
-         jnp.where(proj.valid, proj.opacities, 0.0)[:, None]],
-        axis=1)                                           # (N, 9)
-    ga = _gather_packed(packed, gidx, ent_valid, bw_idx)  # (T, K, 9)
+    Returns (g_mean (C,T,K,2), g_conic (C,T,K,3), g_color (C,T,K,3),
+    g_op (C,T,K) zeroed beyond each tile's count)."""
+    ga = _gather_packed(proj_packed, gidx_g, ent_valid, bw_idx_g)
     g_mean = ga[..., 0:2]
     g_conic = ga[..., 2:5]
     g_color = ga[..., 5:8]
-    g_op = ga[..., 8]                                     # (T, K)
+    g_op = ga[..., 8]                                     # (C, T, K)
     return g_mean, g_conic, g_color, g_op
 
 
@@ -466,10 +526,14 @@ def _composite_xla_fwd_loop(g_mean, g_conic, g_color, g_op, pix_x, pix_y,
         cop = sl(g_op, s * chunk, chunk, 1)
         alpha, _, _, _, _, _ = _alpha_chunk(cm, cc, cop, pix_x, pix_y)
         log_om = jnp.log1p(-alpha)                        # (T, c, P)
-        pref = jnp.einsum("ij,tjp->tip", linc, log_om)    # inclusive prefix
+        # HIGHEST: default-precision MXU (bf16 inputs) rounds log-space
+        # sums by ~0.4% relative — O(0.1) rgb errors at bench scale
+        pref = jnp.einsum("ij,tjp->tip", linc, log_om,
+                          precision=jax.lax.Precision.HIGHEST)
         cum_excl = jnp.exp(pref - log_om)
         wgt = alpha * cum_excl * acc_t[:, None, :]        # (T, c, P)
-        acc_rgb = acc_rgb + jnp.einsum("tcp,tcd->tpd", wgt, ccol)
+        acc_rgb = acc_rgb + jnp.einsum("tcp,tcd->tpd", wgt, ccol,
+                                       precision=jax.lax.Precision.HIGHEST)
         acc_t = acc_t * jnp.exp(pref[:, -1, :])
         return (s + 1, acc_rgb, acc_t, jnp.max(acc_t))
 
@@ -510,13 +574,16 @@ def _composite_xla_bwd(chunk: int, res, cts):
                                                       pix_x, pix_y)
         one_m = 1.0 - alpha
         # inclusive suffix product of (1 - alpha) within the chunk (MXU)
-        rev_cum = jnp.exp(jnp.einsum("ij,tjp->tip", usuf,
-                                     jnp.log1p(-alpha)))
+        rev_cum = jnp.exp(jnp.einsum(
+            "ij,tjp->tip", usuf, jnp.log1p(-alpha),
+            precision=jax.lax.Precision.HIGHEST))
         t_j = t_after[:, None, :] / jnp.maximum(rev_cum, 1e-30)  # (T,c,P)
-        cdotg = jnp.einsum("tcd,tpd->tcp", ccol, g_rgb)
+        cdotg = jnp.einsum("tcd,tpd->tcp", ccol, g_rgb,
+                           precision=jax.lax.Precision.HIGHEST)
         w_j = alpha * t_j
         contrib = w_j * cdotg
-        suf_incl = jnp.einsum("ij,tjp->tip", usuf, contrib)
+        suf_incl = jnp.einsum("ij,tjp->tip", usuf, contrib,
+                              precision=jax.lax.Precision.HIGHEST)
         s_j = (suf_incl - contrib) + s_carry[:, None, :]
         inv_1m = 1.0 / jnp.maximum(one_m, 1e-3)
         # d trans_fin / d alpha_j = -t_fin / (1 - alpha_j)
@@ -534,7 +601,8 @@ def _composite_xla_bwd(chunk: int, res, cts):
         d_cb = jnp.sum(dsigma * (dx * dy), axis=2)
         d_cc = jnp.sum(dsigma * (0.5 * dy * dy), axis=2)
         d_op = jnp.sum(draw * expsig, axis=2)
-        d_col = jnp.einsum("tcp,tpd->tcd", w_j, g_rgb)    # (T, c, 3)
+        d_col = jnp.einsum("tcp,tpd->tcd", w_j, g_rgb,    # (T, c, 3)
+                           precision=jax.lax.Precision.HIGHEST)
         upd = jax.lax.dynamic_update_slice_in_dim
         dm = upd(dm, jnp.stack([d_mx, d_my], -1), s * chunk, 1)
         dc = upd(dc, jnp.stack([d_ca, d_cb, d_cc], -1), s * chunk, 1)
@@ -584,10 +652,14 @@ def _composite_tiles_xla(g_mean, g_conic, g_color, g_op, counts, h: int,
 
 
 def _default_impl() -> str:
-    """'xla' (the analytic-VJP while_loop path) is the default everywhere:
-    it beats the experimental Pallas kernels on TPU at bench scale and runs
-    unmodified on CPU. STARST3R_PALLAS=1 forces the Pallas kernels,
-    STARST3R_PALLAS=0 forces the autodiff oracle ('ref')."""
+    """'pallas' (fused fwd+bwd kernels, pallas_composite.py) is the
+    default on TPU: exact-parity with the XLA analytic-VJP path and 1.33x
+    faster end-to-end at bench scale (train step 58.8 -> 44.4 ms device,
+    tools/probe_profile_step.py; shape preconditions fall back to 'xla'
+    inside `rasterize` automatically). Elsewhere (CPU tests) 'xla' — the
+    Pallas interpreter is far slower than compiled XLA. STARST3R_PALLAS=1
+    forces the kernels (interpret mode off-TPU), STARST3R_PALLAS=0 forces
+    the autodiff oracle ('ref')."""
     import os
 
     env = os.environ.get("STARST3R_PALLAS", "")
@@ -595,7 +667,9 @@ def _default_impl() -> str:
         return "pallas"
     if env == "0":
         return "ref"
-    return "xla"
+    import jax
+
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
 class Bins(NamedTuple):
@@ -606,8 +680,8 @@ class Bins(NamedTuple):
     so the two sorts amortize across steps while projection (and all
     gradients) stay exact every step."""
 
-    sorted_idx: jnp.ndarray   # (C, L) Gaussian id per sorted entry
-    starts: jnp.ndarray       # (C, T+1) tile segment starts
+    gidx: jnp.ndarray         # (C, T, K) Gaussian id per (tile, slot)
+    ent_valid: jnp.ndarray    # (C, T, K) slot occupancy mask
     bw_idx: jnp.ndarray       # (C, N, E) composed backward gather indices
     counts: jnp.ndarray       # (C, T) capped per-tile entry counts
     overflow: jnp.ndarray     # (C,) entries dropped by max_per_tile
@@ -663,8 +737,11 @@ def bin_gaussians(means, quats, scales, opacities, sh, viewmats, Ks,
         return _bin_gaussians(proj, tw, th, tile_size,
                               max_tiles_per_gaussian, max_per_tile)
 
-    out = jax.vmap(pb)(viewmats, Ks)
-    return Bins(*out)
+    (sorted_idx, ent, ent_valid, bw_idx, counts, overflow, n_clipped,
+     max_count) = jax.vmap(pb)(viewmats, Ks)
+    gidx = _resolve_gidx(sorted_idx, ent)
+    return Bins(gidx, ent_valid, bw_idx, counts, overflow, n_clipped,
+                max_count)
 
 
 @functools.partial(
@@ -702,41 +779,49 @@ def rasterize(means, quats, scales, opacities, sh, viewmats, Ks,
     chunk = min(chunk, max_per_tile)   # static; small auto-budget buckets
     tw = -(-width // tile_size)
     th = -(-height // tile_size)
+    n = means.shape[0]
 
-    def project_bin(w2c, K, bins_c):
+    def project_pack(w2c, K, bins_c):
         proj = project_gaussians(means, quats, scales, opacities, sh, w2c, K,
                                  sh_degree)
         if bins_c is None:
-            (sorted_idx, starts, bw_idx, counts, overflow, n_clip,
+            (sorted_idx, ent, ent_valid, bw_idx, counts, overflow, n_clip,
              _) = _bin_gaussians(proj, tw, th, tile_size,
                                  max_tiles_per_gaussian, max_per_tile)
         else:
-            (sorted_idx, starts, bw_idx, counts, overflow, n_clip,
+            sorted_idx = ent = None
+            (gidx_b, ent_valid, bw_idx, counts, overflow, n_clip,
              _) = bins_c
-        ents = _gather_entries(proj, sorted_idx, starts, bw_idx,
-                               max_per_tile)
-        return ents + (counts, overflow, n_clip, proj.means2d, proj.radii,
-                       proj.depths)
+        packed = jnp.concatenate(
+            [proj.means2d, proj.conics, proj.colors,
+             jnp.where(proj.valid, proj.opacities, 0.0)[:, None]],
+            axis=1)                                        # (N, 9)
+        idx = (gidx_b,) if bins_c is not None else (sorted_idx, ent)
+        return (packed, idx, ent_valid, bw_idx, counts, overflow, n_clip,
+                proj.means2d, proj.radii, proj.depths)
 
-    (g_mean, g_conic, g_color, g_op, counts, overflow, n_clip, means2d,
-     radii, depths) = jax.vmap(project_bin)(
-        viewmats, Ks, bins if bins is not None else None)  # (C, T, ...)
+    (packed, idx, ent_valid, bw_idx, counts, overflow, n_clip, means2d,
+     radii, depths) = jax.vmap(project_pack)(
+        viewmats, Ks, bins if bins is not None else None)  # (C, ...)
+    gidx = idx[0] if bins is not None else _resolve_gidx(*idx)
+
+    gidx_g, ent_valid, bw_idx_g = _globalize_bins(
+        gidx, ent_valid, bw_idx, n, max_per_tile)
+    g_mean, g_conic, g_color, g_op = _gather_entries(
+        packed.reshape(-1, packed.shape[-1]), gidx_g, ent_valid, bw_idx_g)
 
     if impl == "pallas":
-        from .pallas_composite import _pack_attr, composite_entries
-        c = viewmats.shape[0]
-        t_total = tw * th
-        p = tile_size * tile_size
-        attr = _pack_attr(g_mean, g_conic, g_color, g_op)   # (C, T, A, K)
-        attr = attr.reshape(c * t_total, attr.shape[2], attr.shape[3])
-        rgb_t, tfin_t = composite_entries(
-            attr, counts.reshape(-1), tile_size, tw, th, chunk)
-        rgb_t = rgb_t.reshape(c, th, tw, 3, tile_size, tile_size)
-        rgb = rgb_t.transpose(0, 1, 4, 2, 5, 3).reshape(
-            c, th * tile_size, tw * tile_size, 3)[:, :height, :width]
-        a_t = (1.0 - tfin_t).reshape(c, th, tw, tile_size, tile_size)
-        alpha = a_t.transpose(0, 1, 3, 2, 4).reshape(
-            c, th * tile_size, tw * tile_size)[:, :height, :width]
+        from .pallas_composite import TB
+        if max_per_tile % 128 or (viewmats.shape[0] * tw * th) % TB:
+            # kernel preconditions unmet (lane-dim slicing needs 128x
+            # chunks; the grid packs TB tiles per program) — the XLA
+            # analytic-VJP path is semantically identical
+            impl = "xla"
+    if impl == "pallas":
+        from .pallas_composite import composite_tiles_pallas
+        rgb, alpha = composite_tiles_pallas(
+            g_mean, g_conic, g_color, g_op, counts, height, width,
+            tile_size, tw, th, chunk)
     elif impl == "xla":
         rgb, alpha = _composite_tiles_xla(
             g_mean, g_conic, g_color, g_op, counts, height, width,

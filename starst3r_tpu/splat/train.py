@@ -193,7 +193,9 @@ def _autobudget_cfg(state: GSState, w2c, Ks, width, height,
         dataclasses.replace(cfg, max_tiles_per_gaussian=mt),
         n_alive=state.n_alive)
     mc = int(jax.device_get(jnp.max(probe.max_count)))
-    mpt = min(max(_next_pow2(int(mc * 1.25) + 1), 64), cfg.max_per_tile)
+    # floor 128: the Pallas compositing kernels need K % 128 == 0 (lane
+    # width); the extra slots on sparse scenes are opacity-0 no-ops
+    mpt = min(max(_next_pow2(int(mc * 1.25) + 1), 128), cfg.max_per_tile)
     return dataclasses.replace(cfg, max_tiles_per_gaussian=mt,
                                max_per_tile=mpt)
 

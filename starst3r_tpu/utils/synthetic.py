@@ -62,7 +62,7 @@ def _project(c2w, K, X):
 
 def synthetic_ga_scene(n_cams: int = 4, hw: int = 128, focal: float = 180.0,
                        subsample: int = 4, focal_error: float = 0.0,
-                       snap_free: bool = False):
+                       snap_free: bool = False, anchored: bool = False):
     """Planted multi-view scene on a sphere (curved — no planar SfM
     degeneracy).
 
@@ -75,6 +75,11 @@ def synthetic_ga_scene(n_cams: int = 4, hw: int = 128, focal: float = 180.0,
     the reference's make_pts3d anchor mechanism, call-site
     reconstruct.py:380), making every correspondence residual exactly zero
     at the planted poses: the GA must recover them to ATE << 1%.
+    ``anchored=True`` models the PRODUCT anchor_refine path
+    (ops.matching.refine_matches hard-argmax): endpoints at integer-pixel
+    accuracy (round of the exact projection — the 0.5 px quantum of
+    full-res refinement) with the depth offset evaluated at that integer
+    pixel, anchored to the pixel's own core cell.
     """
     h = w = hw
     sph_c = np.array([0.0, 0.0, 4.0])
@@ -125,6 +130,20 @@ def synthetic_ga_scene(n_cams: int = 4, hw: int = 128, focal: float = 180.0,
             # projection, depth = anchor-cell core depth * exact ratio
             cpix2[k] = uv.astype(np.float32)
             cdoff2[k] = (z / depths[j][idx2]).astype(np.float32)
+        elif anchored:
+            # product-path model: integer-pixel endpoint (hard-argmax
+            # refinement), depth ratio at that pixel, re-anchored to the
+            # pixel's own core cell
+            uv_px = np.round(uv)
+            gx2 = np.clip(np.round((uv_px[:, 0] - subsample // 2)
+                                   / subsample), 0, ws - 1)
+            gy2 = np.clip(np.round((uv_px[:, 1] - subsample // 2)
+                                   / subsample), 0, hs - 1)
+            idx2p = (gy2 * ws + gx2).astype(np.int32)
+            cx2[k] = idx2p
+            zp = _ray_sphere_depth(gt[j], K, uv_px, sph_c, sph_r)
+            cpix2[k] = uv_px.astype(np.float32)
+            cdoff2[k] = (zp / depths[j][idx2p]).astype(np.float32)
 
     med = np.median(depths, axis=1)
     data = CondensedData(
@@ -142,8 +161,10 @@ def synthetic_ga_scene(n_cams: int = 4, hw: int = 128, focal: float = 180.0,
         pair_matching_ok=np.ones(p, bool),
         preds21_pts=np.zeros((p, s, 3), np.float32),
         preds21_conf=np.zeros((p, s), np.float32),
-        corr_pix2=cpix2.reshape(-1, 2) if snap_free else None,
-        corr_doff2=cdoff2.reshape(-1) if snap_free else None,
+        corr_pix2=(cpix2.reshape(-1, 2) if (snap_free or anchored)
+                   else None),
+        corr_doff2=(cdoff2.reshape(-1) if (snap_free or anchored)
+                    else None),
     )
     mst = (0, [(i, i + 1) for i in range(n_cams - 1)])
     return data, mst, gt, K

@@ -181,3 +181,21 @@ def test_ga_exp_depth_init_roundtrip():
                                                         exp_depth=True))
     np.testing.assert_allclose(np.asarray(r_exp.depth),
                                np.asarray(r_lin.depth), rtol=2e-6)
+
+
+def test_ga_anchored_beats_snapped():
+    """The PRODUCT anchor path (integer-pixel refined endpoints anchored to
+    core cells — synthetic model of ops.matching.refine_matches) must
+    substantially beat grid-snapped endpoints (VERDICT r3 #4: default-path
+    ATE was dominated by the snap quantum)."""
+    cfg = GAConfig(niter1=500, niter2=200, lr2=0.004)
+    data_s, mst, gt, _ = synthetic_ga_scene(n_cams=N_CAMS, hw=H,
+                                            subsample=SUB)
+    res_s, _ = run_global_alignment(data_s, mst, cfg)
+    data_a, mst, gt, _ = synthetic_ga_scene(n_cams=N_CAMS, hw=H,
+                                            subsample=SUB, anchored=True)
+    res_a, _ = run_global_alignment(data_a, mst, cfg)
+    ate_s = ate_rmse(np.asarray(res_s.cam2w), gt)
+    ate_a = ate_rmse(np.asarray(res_a.cam2w), gt)
+    assert ate_a < 0.5 * ate_s, (ate_a, ate_s)
+    assert ate_a < 0.05 * _traj_scale(gt), ate_a

@@ -120,3 +120,26 @@ def test_xla_custom_vjp_matches_reference(rng):
         scale = np.maximum(np.abs(gr).max(), 1e-6)
         np.testing.assert_allclose(gx / scale, gr / scale, atol=1e-3,
                                    err_msg=name)
+
+
+def test_pallas_multichunk_matches_reference(rng):
+    """Dense scene forcing MULTIPLE 128-entry chunks per tile (the
+    compiled-mode failure at bench scale was absent at single-chunk
+    scale): fwd + grads vs the XLA analytic path."""
+    args = _scene(rng, n=1400)
+    kw = dict(width=32, height=32, sh_degree=1, tile_size=16,
+              max_tiles_per_gaussian=4, max_per_tile=512, chunk=128)
+    rgb_r, a_r, _ = rasterize(*args, impl="xla", **kw)
+    rgb_p, a_p, _ = rasterize(*args, impl="pallas", **kw)
+    np.testing.assert_allclose(np.asarray(rgb_p), np.asarray(rgb_r),
+                               atol=1e-4, rtol=1e-4)
+
+    def loss(impl, means):
+        rgb, alpha, _ = rasterize(means, *args[1:5], args[5], args[6],
+                                  impl=impl, **kw)
+        return jnp.sum(rgb * rgb) + jnp.sum(alpha)
+
+    g_r = jax.grad(lambda m: loss("xla", m))(args[0])
+    g_p = jax.grad(lambda m: loss("pallas", m))(args[0])
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_r),
+                               atol=5e-3, rtol=1e-3)
