@@ -494,6 +494,95 @@ def main():
 
     _stage("e2e_quality", min_budget_s=180)(e2e_quality)
 
+    # ---------------- BASELINE configs 4-5: keyframe BA + 1M pool ---------
+    def config4():
+        # 50-keyframe incremental Schur-complement BA (BASELINE config 4)
+        import sys as _sys
+        _sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tests"))
+        from test_schur import _make_seq, _perturb
+
+        from starst3r_tpu.alignment.schur import schur_refine
+
+        d = _make_seq(np.random.default_rng(0), c=50, npts=16, window=3)
+        noisy = _perturb(d["cam2w"], np.random.default_rng(1), rot=0.01,
+                         tr=0.03)
+        schur_refine(noisy, d["focals"], d["pps"], d["depths"],
+                     d["core_pix"], d["tracks"], iters=1, opt_focal=False)
+        t0 = time.perf_counter()
+        _, _, costs = schur_refine(
+            noisy, d["focals"], d["pps"], d["depths"], d["core_pix"],
+            d["tracks"], iters=5, opt_focal=False)
+        aux["config4"] = {
+            "keyframes": 50,
+            "schur_s_per_iter": round((time.perf_counter() - t0) / 5, 3),
+            "cost_drop": round(float(costs[0] / max(costs[-1], 1e-12)), 1),
+        }
+
+    _stage("config4", min_budget_s=150)(config4)
+
+    def config5():
+        # 200-keyframe Schur BA + 1M-Gaussian-pool training step
+        # (BASELINE config 5, single-chip slice; the multi-chip sharding
+        # of the same paths is validated by __graft_entry__
+        # .dryrun_multichip on the virtual 8-device mesh)
+        import sys as _sys
+        _sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tests"))
+        from test_schur import _make_seq, _perturb
+
+        from starst3r_tpu.alignment.schur import schur_refine
+
+        d = _make_seq(np.random.default_rng(0), c=200, npts=16, window=3)
+        noisy = _perturb(d["cam2w"], np.random.default_rng(1), rot=0.01,
+                         tr=0.03)
+        schur_refine(noisy, d["focals"], d["pps"], d["depths"],
+                     d["core_pix"], d["tracks"], iters=1, opt_focal=False)
+        t0 = time.perf_counter()
+        _, _, costs = schur_refine(
+            noisy, d["focals"], d["pps"], d["depths"], d["core_pix"],
+            d["tracks"], iters=5, opt_focal=False)
+        blk = {
+            "keyframes": 200,
+            "schur_s_per_iter": round((time.perf_counter() - t0) / 5, 3),
+            "cost_drop": round(float(costs[0] / max(costs[-1], 1e-12)), 1),
+        }
+        aux["config5"] = blk
+
+        n1m = 1_000_000
+        pts1 = rng.normal(size=(n1m, 3)).astype(np.float32) * 0.8
+        pts1[:, 2] += 4.0
+        cols1 = rng.uniform(size=(n1m, 3)).astype(np.float32)
+        st1 = init_gaussians(pts1, cols1, cfg)
+        scfg1 = _autobudget_cfg(st1, w2c, K, w, h, cfg)
+        bins1 = compute_bins(st1.params, w2c, K, w, h, scfg1,
+                             n_alive=st1.n_alive)
+        h1 = {"state": st1}
+
+        def step1m():
+            s, loss = train_step(h1["state"], gt, w2c, K, w, h, scfg1,
+                                 n_cams, bins=bins1)
+            h1["state"] = s
+            return loss
+
+        def bin1m():
+            return compute_bins(h1["state"].params, w2c, K, w, h, scfg1,
+                                n_alive=h1["state"].n_alive).counts
+
+        dt1 = _timeit(step1m, warmup=2, iters=5)
+        dtb1 = _timeit(bin1m, warmup=1, iters=3)
+        blk["gaussians"] = n1m
+        blk["splat_step_ms"] = round((dt1 + dtb1 / REBIN) * 1e3, 2)
+        blk["gaussians_per_s"] = round(n1m / (dt1 + dtb1 / REBIN))
+        try:
+            ms = jax.devices()[0].memory_stats()
+            blk["peak_hbm_mb"] = round(
+                ms.get("peak_bytes_in_use", 0) / 1e6)
+        except Exception:
+            pass
+
+    _stage("config5", min_budget_s=220)(config5)
+
     # ---------------- 512-px operating block (checkpoint-native res) ------
     def res512():
         from starst3r_tpu.models.mast3r import Mast3rModel

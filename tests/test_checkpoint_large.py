@@ -1,0 +1,58 @@
+"""Real-checkpoint converter proof at LARGE geometry (VERDICT r3 #6).
+
+The operative reference path loads
+`MASt3R_ViTLarge_BaseDecoder_512_catmlpdpt_metric.pth` (reference
+main.py:46, docs/install.rst:24-31). These tests prove the converter
+against a state dict with the EXACT checkpoint key naming at the
+published ViTLarge/BaseDecoder geometry — without the 2 GB file and
+WITHOUT torch:
+
+  1. zero unconsumed keys at large geometry;
+  2. every converted leaf lands on a real model leaf at the right shape
+     (model tree obtained via jax.eval_shape — no 1.2 GB allocation).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from starst3r_tpu.config import ModelConfig
+from starst3r_tpu.io.torch_convert import (convert_state_dict,
+                                           synthetic_state_dict)
+
+CFG = ModelConfig.large()
+
+
+def _convert_large():
+    sd = synthetic_state_dict(CFG, zeros=True)
+    return convert_state_dict(sd, CFG.enc_depth, CFG.dec_depth,
+                              CFG.patch_size, CFG.desc_dim)
+
+
+def test_large_zero_unmapped_keys():
+    _, unmapped = _convert_large()
+    assert unmapped == [], unmapped[:10]
+
+
+def test_large_every_leaf_lands():
+    mapped, _ = _convert_large()
+    from starst3r_tpu.models.mast3r import TwoViewNet
+
+    dummy = jax.ShapeDtypeStruct((1, 64, 64, 3), jnp.float32)
+    tree = jax.eval_shape(
+        lambda k, d: TwoViewNet(CFG).init(k, d, d),
+        jax.random.PRNGKey(0), dummy)
+
+    def walk(src, dst, path=""):
+        bad = []
+        for k, v in src.items():
+            if k not in dst:
+                bad.append(f"{path}/{k} missing")
+            elif isinstance(v, dict):
+                bad += walk(v, dst[k], f"{path}/{k}")
+            elif tuple(np.shape(dst[k])) != tuple(v.shape):
+                bad.append(f"{path}/{k} {v.shape} vs {np.shape(dst[k])}")
+        return bad
+
+    bad = walk(mapped["params"], tree["params"])
+    assert not bad, bad[:10]
