@@ -237,12 +237,19 @@ def _bin_gaussians(proj: Projected, tw: int, th: int, tile: int,
 
     # each sorted position's (tile*K + slot) target in the gathered (T, K)
     # layout; entries past a tile's K slots or in the sentinel tile map to
-    # the zero row t_total*K
+    # the zero row t_total*K. The within-tile slot comes from a cummax
+    # over tile-boundary positions — NOT from a starts[t_of] gather: XLA
+    # TPU gathers cost a full (8,128) tile read per row regardless of the
+    # source size, 12.7 ms for these 1.6M rows at bench scale vs ~1 ms for
+    # the scan (tools/probe_profile_step.py).
     l = sorted_key.shape[0]
     s_pos = jnp.arange(l, dtype=jnp.int32)
     t_of = jnp.minimum(
         jax.lax.shift_right_logical(sorted_key, db), t_total - 1)
-    slot = s_pos - starts[t_of]
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), bool), t_of[1:] != t_of[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(is_new, s_pos, 0))
+    slot = s_pos - seg_start
     lin = jnp.where((sorted_key < (t_total << db)) & (slot < max_per_tile),
                     t_of * max_per_tile + slot, t_total * max_per_tile)
     # group by owning Gaussian: every Gaussian owns exactly max_tiles
