@@ -11,12 +11,18 @@ depth-sorted front-to-back alpha compositing) is re-designed for XLA:
      its center, K from `max_tiles_per_gaussian`); one `jax.lax.sort` with 2
      keys orders them by (tile, depth); per-tile segments come from
      searchsorted — all static shapes;
-  3. compositing: per tile, gather up to `max_per_tile` depth-ordered entries
-     and alpha-composite over pixel blocks in chunks under `jax.checkpoint`
-     (front-to-back transmittance as a chunked scan carry). The backward pass
-     is exact autodiff through the scan — the reverse-order accumulation the
-     CUDA kernel hand-codes (SURVEY §7.4 hard part 1) falls out of the scan's
-     VJP; a Pallas kernel of the same schedule is the perf upgrade path.
+  3. compositing: per tile, gather up to `max_per_tile` depth-ordered
+     entries and alpha-composite front-to-back. THREE interchangeable
+     implementations, strongest first:
+       'pallas' (default on TPU): fused forward + analytic-reverse-sweep
+           backward kernels, per-tile count-bounded loops with
+           transmittance early exit (pallas_composite.py);
+       'xla': chunked `while_loop` with a hand-derived reverse-sweep VJP
+           (_composite_xla) — identical semantics, runs everywhere;
+       'ref': pure-XLA scan with autodiff backward — the parity oracle.
+     The reverse-order accumulation the CUDA kernel hand-codes (SURVEY
+     §7.4 hard part 1) is hand-derived here too and cross-checked against
+     the oracle to 1e-5 (tests/test_splat.py, tests/test_pallas_composite).
 
 Semantics match `gsplat.rasterization(means, quats(wxyz), scales, opacities,
 colors(N,K,3), viewmats, Ks, width, height, sh_degree)`: scales/opacities are
