@@ -270,6 +270,43 @@ def _core_pts3d(K, cam2w, depth, state: GAState):
     return jnp.einsum("cij,csj->csi", R, cam_pts) + t[:, None, :]
 
 
+@jax.custom_vjp
+def _gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``table[idx]`` whose BACKWARD is a one-hot matmul, not a scatter.
+
+    The autodiff VJP of a gather is scatter-add; XLA lowers TPU scatters
+    with duplicate indices to a SERIAL per-row loop — the GA step graph
+    carried 74 of them and spent ~280 ms/step in thousands of sequential
+    dynamic-slice ops (profiled tools/probe_ga_profile.py). The one-hot
+    contraction (M, R) @ (M, D) -> (R, D) runs on the MXU in microseconds
+    at GA scale (R <= a few thousand rows, M ~ 1e4 correspondences).
+
+    table (R, D); idx (M,) int32. Returns (M, D).
+    """
+    return table[idx]
+
+
+def _gather_rows_fwd(table, idx):
+    return table[idx], (idx, table.shape[0])
+
+
+def _gather_rows_bwd(res, ct):
+    idx, nrows = res
+    if jax.default_backend() != "tpu":
+        # CPU/GPU scatters are fast and the one-hot matmul is not: use
+        # the plain scatter-add there (traced per backend at jit time)
+        d = jnp.zeros((nrows,) + ct.shape[1:], ct.dtype).at[idx].add(ct)
+        return d, None
+    oh = (idx[:, None] == jnp.arange(nrows, dtype=idx.dtype)[None, :]
+          ).astype(ct.dtype)                               # (M, R)
+    d = jnp.einsum("mr,md->rd", oh, ct,
+                   precision=jax.lax.Precision.HIGHEST)
+    return d, None
+
+
+_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
 def _endpoint_pts(K, cam2w, depth, state: GAState, img, idx, pix, doff):
     """World position of anchored correspondence endpoints (M, 3).
 
@@ -279,16 +316,18 @@ def _endpoint_pts(K, cam2w, depth, state: GAState, img, idx, pix, doff):
     (call-site reconstruct.py:380). With pix = core_pix[idx] and doff = 1
     this reduces exactly to gathering the core-grid 3D points.
     """
-    z = depth[img, idx] * doff                     # (M,)
-    fx = K[img, 0, 0]
-    fy = K[img, 1, 1]
-    cx = K[img, 0, 2]
-    cy = K[img, 1, 2]
+    c, s = depth.shape
+    z = _gather_rows(depth.reshape(c * s, 1),
+                     img * s + idx)[:, 0] * doff   # (M,)
+    Km = _gather_rows(K.reshape(c, 9), img)        # (M, 9)
+    fx, fy = Km[:, 0], Km[:, 4]
+    cx, cy = Km[:, 2], Km[:, 5]
     x = (pix[:, 0] - cx) / fx * z
     y = (pix[:, 1] - cy) / fy * z
     cam_pts = jnp.stack([x, y, z], axis=-1)        # (M, 3)
-    R = cam2w[img, :3, :3]                         # (M, 3, 3)
-    t = cam2w[img, :3, 3]
+    Tm = _gather_rows(cam2w.reshape(c, 16), img).reshape(-1, 4, 4)
+    R = Tm[:, :3, :3]                              # (M, 3, 3)
+    t = Tm[:, :3, 3]
     return jnp.einsum("mij,mj->mi", R, cam_pts) + t
 
 
@@ -317,7 +356,8 @@ def _loss_2d(K, cam2w, depth, w2c, state: GAState, gamma: float, alpha):
     proj = K @ w2c[:, :3]                          # (C, 3, 4)
     p2 = _endpoint_pts(K, cam2w, depth, state, state.corr_img2,
                        state.corr_idx2, state.corr_pix2, state.corr_doff2)
-    pm = proj[state.corr_img1]                     # (M, 3, 4)
+    pm = _gather_rows(proj.reshape(-1, 12),
+                      state.corr_img1).reshape(-1, 3, 4)   # (M, 3, 4)
     homo = jnp.einsum("mij,mj->mi", pm[:, :, :3], p2) + pm[:, :, 3]
     z = homo[:, 2:3]
     z = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
@@ -336,10 +376,14 @@ def _loss_dust3r(pts3d, cam2w, state: GAState, gamma: float):
     both_frozen = (state.freeze[state.pair_img1]
                    & state.freeze[state.pair_img2])
     pair_w = bad & (~both_frozen)                   # (P,)
-    R = cam2w[state.pair_img2, :3, :3]              # (P, 3, 3)
-    t = cam2w[state.pair_img2, :3, 3]               # (P, 3)
+    Tp = _gather_rows(cam2w.reshape(-1, 16),
+                      state.pair_img2).reshape(-1, 4, 4)
+    R = Tp[:, :3, :3]                               # (P, 3, 3)
+    t = Tp[:, :3, 3]                                # (P, 3)
     tgt = jnp.einsum("pij,psj->psi", R, state.preds21_pts) + t[:, None, :]
-    ours = pts3d[state.pair_img1]                   # (P, S, 3)
+    c, s = pts3d.shape[0], pts3d.shape[1]
+    ours = _gather_rows(pts3d.reshape(c, s * 3),
+                        state.pair_img1).reshape(-1, s, 3)  # (P, S, 3)
     dist = jnp.linalg.norm(ours - tgt + 1e-12, axis=-1)   # (P, S)
     wgt = state.preds21_conf * pair_w[:, None]
     loss = jnp.sum(wgt * meta_gamma_loss(dist, gamma, 0.0))

@@ -232,7 +232,7 @@ def test_e2e_image_quality_gate(rng):
     r0 = jnp.clip(render(state.params, w2c[hold:hold + 1],
                          Ks[hold:hold + 1], 64, 64, cfg)[0][0], 0, 1)
     p0 = float(psnr_fn(jnp.asarray(imgs[hold]), r0))
-    state, losses = run_optim(state, imgs[tc], w2c[tc], Ks[tc], 120, cfg)
+    state, losses = run_optim(state, imgs[tc], w2c[tc], Ks[tc], 200, cfg)
     r1 = jnp.clip(render(state.params, w2c[hold:hold + 1],
                          Ks[hold:hold + 1], 64, 64, cfg,
                          n_alive=state.n_alive)[0][0], 0, 1)
