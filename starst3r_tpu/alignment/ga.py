@@ -429,11 +429,22 @@ def _phase_opt(cfg: GAConfig, niter: int, lr_base: float, lr_end: float):
     )
 
 
+def _optimize_chunk(*args, **kw):
+    # FULL f32 matmul precision for the whole alignment graph: at the
+    # MXU's default bf16 input rounding the pose-chain composition and
+    # endpoint transforms carry ~0.4% relative error, which FLOORS the
+    # GA's convergence on TPU ~10x above its CPU accuracy (snap-free ATE
+    # 1.6-1.9% on TPU vs 0.14% on CPU before this; the matmuls here are
+    # 4x4 / M-row einsums — precision costs nothing at this size).
+    with jax.default_matmul_precision("highest"):
+        return _optimize_chunk_jit(*args, **kw)
+
+
 @functools.partial(jax.jit, static_argnames=("niter", "nsteps", "lr_base",
                                              "lr_end", "gamma", "phase",
                                              "cfg"))
-def _optimize_chunk(params: GAParams, opt_state, stopped, prev_loss,
-                    state: GAState, start, niter: int, nsteps: int,
+def _optimize_chunk_jit(params: GAParams, opt_state, stopped, prev_loss,
+                        state: GAState, start, niter: int, nsteps: int,
                     lr_base: float, lr_end: float, gamma: float, phase: int,
                     cfg: GAConfig):
     """``nsteps`` optimization steps starting at absolute step ``start``

@@ -231,7 +231,12 @@ def _bin_gaussians(proj: Projected, tw: int, th: int, tile: int,
            + jnp.broadcast_to(zq[:, None], tile_id.shape)).reshape(-1)
     flat_idx = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[:, None], tile_id.shape).reshape(-1)
-    sorted_key, sorted_idx = jax.lax.sort((key, flat_idx), num_keys=1)
+    # num_keys=2: lax.sort is UNSTABLE, and the quantized-depth key has
+    # many ties (e.g. near-duplicate points from multiple views), so tie
+    # order — hence compositing order and training trajectories — varied
+    # RUN TO RUN. The Gaussian id as secondary key makes binning (and
+    # everything downstream) deterministic.
+    sorted_key, sorted_idx = jax.lax.sort((key, flat_idx), num_keys=2)
 
     starts = jnp.searchsorted(
         sorted_key,
@@ -675,6 +680,9 @@ def _default_impl() -> str:
     the autodiff oracle ('ref')."""
     import os
 
+    env = os.environ.get("STARST3R_IMPL", "")
+    if env in ("pallas", "xla", "ref"):
+        return env
     env = os.environ.get("STARST3R_PALLAS", "")
     if env == "1":
         return "pallas"

@@ -16,7 +16,7 @@ from typing import Tuple
 import numpy as np
 
 __all__ = ("umeyama", "align_trajectory", "ate_rmse", "rotation_angle_deg",
-           "rpe_rotation_deg")
+           "rpe_rotation_deg", "register_pose_into")
 
 
 def umeyama(src: np.ndarray, dst: np.ndarray,
@@ -93,3 +93,50 @@ def rotation_angle_deg(pred_c2w: np.ndarray, gt_c2w: np.ndarray) -> np.ndarray:
     rel = np.einsum("cij,ckj->cik", aligned[:, :3, :3], gt[:, :3, :3])
     tr = np.clip((np.trace(rel, axis1=1, axis2=2) - 1.0) / 2.0, -1.0, 1.0)
     return np.degrees(np.arccos(tr))
+
+
+def register_pose_into(ref_gt_c2w: np.ndarray, ref_rec_c2w: np.ndarray,
+                       query_gt_c2w: np.ndarray) -> np.ndarray:
+    """Map an externally-known camera pose into a reconstruction's frame.
+
+    Novel-view evaluation protocol: a reconstruction lives in its own
+    SE(3)+scale gauge, so evaluating a HELD-OUT view must not pay the
+    held-out camera's own pose-estimation error twice — benchmarks
+    register the known eval pose into the reconstruction frame via the
+    similarity transform fitted on the TRAIN cameras (Umeyama on camera
+    centers), then render there.
+
+    The rotation comes from the chordal mean of the per-camera relative
+    rotations (R_rec R_gt^T) — camera CENTERS alone (Umeyama) leave the
+    rotation ill-constrained when the cameras lie near an arc/line, the
+    common capture geometry. Scale and translation are then least-squares
+    on the centers given that rotation.
+
+    ref_gt_c2w (N,4,4) known train poses; ref_rec_c2w (N,4,4) recovered
+    train poses; query_gt_c2w (4,4) known eval pose. Returns the eval
+    pose expressed in the reconstruction frame (4,4).
+    """
+    gt = np.asarray(ref_gt_c2w, np.float64)
+    rec = np.asarray(ref_rec_c2w, np.float64)
+    # chordal-mean rotation: argmax_R sum_i <R, R_rec_i R_gt_i^T>
+    M = sum(rec[i, :3, :3] @ gt[i, :3, :3].T for i in range(gt.shape[0]))
+    U, _, Vt = np.linalg.svd(M)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1.0
+    R = U @ S @ Vt
+    # scale + translation on centers, rotation fixed
+    src = gt[:, :3, 3] @ R.T                  # rotated GT centers
+    dst = rec[:, :3, 3]
+    mu_s = src.mean(axis=0)
+    mu_d = dst.mean(axis=0)
+    xs = src - mu_s
+    xd = dst - mu_d
+    denom = float((xs * xs).sum())
+    s = float((xs * xd).sum()) / max(denom, 1e-12)
+    t = mu_d - s * mu_s
+    out = np.eye(4)
+    q = np.asarray(query_gt_c2w, np.float64)
+    out[:3, :3] = R @ q[:3, :3]
+    out[:3, 3] = s * (R @ q[:3, 3]) + t
+    return out.astype(np.float32)
