@@ -237,6 +237,19 @@ class SplatConfig:
     # reference starster/gs.py:43-45). 0 disables headroom (pool == N,
     # growth inert).
     pool_headroom: float = 2.0
+    # per-parameter learning-rate overrides (None = cfg.lr — the
+    # reference's single Adam lr on every tensor, gs.py:37). Standard 3DGS
+    # practice separates these by ~100x (means ~1.6e-4*extent, opacities
+    # ~5e-2, scales ~5e-3, SH ~2.5e-3); the uniform reference lr makes
+    # positions jitter at world scale and colors adapt too slowly. The
+    # optimizer state layout is identical either way (splat/train.py
+    # make_optimizer), so MCMC moment resets and checkpoints are
+    # unaffected.
+    lr_means: Optional[float] = None
+    lr_quats: Optional[float] = None
+    lr_scales: Optional[float] = None
+    lr_opacities: Optional[float] = None
+    lr_sh: Optional[float] = None
     # compat quirks (SURVEY §2a quirk list — reproduce reference by default)
     compat_inverted_sh: bool = True     # SH init is (1 - color) in all bands
     compat_raw_activations: bool = True # raw opacity/scale to rasterizer

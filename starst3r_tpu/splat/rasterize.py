@@ -182,8 +182,14 @@ def _bin_gaussians(proj: Projected, tw: int, th: int, tile: int,
     is enumerated EXACTLY in row-major order up to ``max_tiles`` entries —
     no fixed-window anchoring, so any Gaussian whose bbox fits the budget
     is binned into every tile it touches regardless of radius or position.
-    Gaussians whose bbox exceeds the budget are truncated and COUNTED
-    (returned as ``n_clipped``; surfaced via info["n_tiles_clipped"]).
+    Gaussians whose bbox exceeds the budget keep a sub-window CENTERED on
+    their projected mean (full width first, then centered rows; falling
+    back to a centered row segment for image-wide footprints) — the
+    highest-contribution tiles — instead of the first row-major tiles,
+    whose loss blacked out whole tile rows under heavy overdraw (observed
+    as tile-aligned holes in the e2e scene, round 5). Truncation is
+    COUNTED (returned as ``n_clipped``; surfaced via
+    info["n_tiles_clipped"]).
 
     The (tile, depth) order comes from ONE sort on a PACKED int32 key:
     tile id in the high bits, the top bits of the depth's float32 bit
@@ -212,14 +218,30 @@ def _bin_gaussians(proj: Projected, tw: int, th: int, tile: int,
     tx1 = jnp.clip(tx1, 0, tw - 1).astype(jnp.int32)
     ty1 = jnp.clip(ty1, 0, th - 1).astype(jnp.int32)
     bw = tx1 - tx0 + 1                                    # (N,) >= 1
-    area = bw * (ty1 - ty0 + 1)
+    bh = ty1 - ty0 + 1
+    area = bw * bh
+
+    # effective (possibly truncated) window: identical to the exact bbox
+    # when area <= max_tiles (then bw_eff == bw and bh_eff >= bh); larger
+    # bboxes keep full width but only max_tiles//bw rows CENTERED on the
+    # projected mean (or a centered row segment when bw alone exceeds the
+    # budget) — see the truncation note in the docstring.
+    bw_eff = jnp.minimum(bw, max_tiles)
+    bh_eff = jnp.maximum(jnp.minimum(bh, max_tiles // bw_eff), 1)
+    txc = jnp.clip(jnp.floor(proj.means2d[:, 0] / tile).astype(jnp.int32),
+                   tx0, tx1)
+    tyc = jnp.clip(jnp.floor(proj.means2d[:, 1] / tile).astype(jnp.int32),
+                   ty0, ty1)
+    tx0e = jnp.clip(txc - bw_eff // 2, tx0, tx1 - bw_eff + 1)
+    ty0e = jnp.clip(tyc - bh_eff // 2, ty0, ty1 - bh_eff + 1)
+    area_eff = bw_eff * bh_eff
 
     e = jnp.arange(max_tiles, dtype=jnp.int32)            # (E,)
-    ex = e[None, :] % bw[:, None]                         # (N, E)
-    ey = e[None, :] // bw[:, None]
-    ty = ty0[:, None] + ey
-    tx = tx0[:, None] + ex
-    ok = proj.valid[:, None] & (e[None, :] < area[:, None]) & (ty <= ty1[:, None])
+    ex = e[None, :] % bw_eff[:, None]                     # (N, E)
+    ey = e[None, :] // bw_eff[:, None]
+    ty = ty0e[:, None] + ey
+    tx = tx0e[:, None] + ex
+    ok = proj.valid[:, None] & (e[None, :] < area_eff[:, None])
     tile_id = jnp.where(ok, ty * tw + tx, t_total).astype(jnp.int32)
     n_clipped = jnp.sum((proj.valid & (area > max_tiles)).astype(jnp.int32))
 

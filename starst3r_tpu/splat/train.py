@@ -39,7 +39,7 @@ from .mcmc import MCMCConfig, add_position_noise, grow_target, relocate_dead
 from .rasterize import bin_gaussians, rasterize
 
 __all__ = ("GSState", "init_gaussians", "render", "train_step",
-           "run_optim", "mcmc_config_from")
+           "run_optim", "mcmc_config_from", "make_optimizer")
 
 
 class GSState(NamedTuple):
@@ -48,6 +48,31 @@ class GSState(NamedTuple):
     step: jnp.ndarray
     key: jnp.ndarray
     n_alive: jnp.ndarray      # () int32 — slots < n_alive are active
+
+
+def make_optimizer(cfg: SplatConfig) -> optax.GradientTransformation:
+    """Adam with optional per-parameter learning rates (SplatConfig
+    lr_means/lr_quats/lr_scales/lr_opacities/lr_sh; None = cfg.lr — the
+    reference's uniform-lr Adam, gs.py:37).
+
+    Built as scale_by_adam + a stateless per-key lr scale so the state
+    pytree is EXACTLY optax.adam's (ScaleByAdamState, EmptyState)
+    regardless of the lr settings — the MCMC moment reset
+    (_mcmc_post_step_jit) and checkpointed opt states stay valid."""
+    lrs = {"means": cfg.lr_means, "quats": cfg.lr_quats,
+           "scales": cfg.lr_scales, "opacities": cfg.lr_opacities,
+           "sh0": cfg.lr_sh, "shN": cfg.lr_sh}
+
+    def scale_fn(updates, state, params=None):
+        del params
+        out = {k: v * (-(lrs[k] if lrs.get(k) is not None else cfg.lr))
+               for k, v in updates.items()}
+        return out, state
+
+    return optax.chain(
+        optax.scale_by_adam(),
+        optax.GradientTransformation(lambda _: optax.EmptyState(),
+                                     scale_fn))
 
 
 def mcmc_config_from(cfg: SplatConfig) -> MCMCConfig:
@@ -65,11 +90,17 @@ def mcmc_config_from(cfg: SplatConfig) -> MCMCConfig:
 
 def init_gaussians(points: np.ndarray, colors: np.ndarray,
                    cfg: SplatConfig, seed: int = 0,
-                   pool_size: int = 0) -> GSState:
+                   pool_size: int = 0,
+                   point_scales: Optional[np.ndarray] = None) -> GSState:
     """points (N, 3) float; colors (N, 3) float in [0, 1].
 
     pool_size > N allocates extra (inactive) capacity so MCMC growth toward
     `cfg.cap_max` can activate slots without reallocating (static shapes).
+    point_scales: optional per-point LINEAR scales, (N,) or (N, 3) world
+    units, overriding the scalar cfg.init_scale — e.g. the local point
+    spacing depth*subsample/focal, so near points get small splats and far
+    points large ones (uniform init over-draws near surfaces and
+    under-covers far ones).
     """
     n = points.shape[0]
     cap = max(n, pool_size)
@@ -80,16 +111,36 @@ def init_gaussians(points: np.ndarray, colors: np.ndarray,
     else:
         sh_val = (cols - 0.5) / 0.28209479177387814
     quats = jnp.zeros((n, 4), jnp.float32).at[:, 0].set(1.0)
+    # store params in RAW (pre-activation) space: the rasterizer receives
+    # activation(raw). compat mode is identity (reference passes raw values
+    # unactivated — SURVEY §2a quirk 3); the fixed mode stores log-scale /
+    # logit-opacity so the initial ACTIVATED values equal init_scale / ~1.
+    inv_s = _scale_act(cfg)[1]
+    inv_o = _opacity_act(cfg)[1]
+    raw_scale = float(inv_s(jnp.float32(cfg.init_scale)))
+    raw_op = float(inv_o(jnp.float32(0.95 if not cfg.compat_raw_activations
+                                     else 1.0)))
+    if point_scales is not None:
+        ps = jnp.asarray(point_scales, jnp.float32)
+        if ps.ndim == 1:
+            ps = ps[:, None]
+        scales0 = inv_s(jnp.broadcast_to(ps, (n, 3)))
+    else:
+        scales0 = jnp.full((n, 3), raw_scale, jnp.float32)
     params = {
         "means": pts,
-        "scales": jnp.full((n, 3), cfg.init_scale, jnp.float32),
+        "scales": scales0,
         "quats": quats,
-        "opacities": jnp.ones((n,), jnp.float32),
+        "opacities": jnp.full((n,), raw_op, jnp.float32),
         "sh0": sh_val[:, None, :],
         "shN": jnp.tile(sh_val[:, None, :], (1, cfg.sh_bands, 1)),
     }
     if not cfg.compat_inverted_sh:
-        params["shN"] = jnp.zeros((n, cfg.sh_bands, 3), jnp.float32)
+        # rendering passes colors=shN (reference gs.py:81,86), so the DC
+        # term the rasterizer reads is shN[:, 0] (SURVEY §2a quirk 2):
+        # place the true SH DC there, zero the directional bands.
+        shn = jnp.zeros((n, cfg.sh_bands, 3), jnp.float32)
+        params["shN"] = shn.at[:, 0, :].set(sh_val)
     if cap > n:
         pad = cap - n
 
@@ -100,8 +151,8 @@ def init_gaussians(points: np.ndarray, colors: np.ndarray,
         params = {k: pad0(v) for k, v in params.items()}
         # inactive slots: identity quats, init scale (relocation overwrites)
         params["quats"] = params["quats"].at[n:, 0].set(1.0)
-        params["scales"] = params["scales"].at[n:].set(cfg.init_scale)
-    opt = optax.adam(cfg.lr)
+        params["scales"] = params["scales"].at[n:].set(raw_scale)
+    opt = make_optimizer(cfg)
     return GSState(params=params, opt_state=opt.init(params),
                    step=jnp.asarray(0), key=jax.random.PRNGKey(seed),
                    n_alive=jnp.asarray(n, jnp.int32))
@@ -233,7 +284,7 @@ def train_step(state: GSState, gt: jnp.ndarray, w2c: jnp.ndarray,
 def _train_step(state: GSState, gt: jnp.ndarray, w2c: jnp.ndarray,
                 Ks: jnp.ndarray, width: int, height: int, cfg: SplatConfig,
                 n_cams: int, bins=None):
-    opt = optax.adam(cfg.lr)
+    opt = make_optimizer(cfg)
     cap = state.params["means"].shape[0]
     alive = (jnp.arange(cap, dtype=jnp.int32) < state.n_alive)
     denom = jnp.maximum(state.n_alive.astype(jnp.float32), 1.0)

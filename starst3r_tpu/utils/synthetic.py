@@ -35,6 +35,32 @@ def _look_at_poses(n):
     return np.stack(c2w)
 
 
+def _orbit_poses(n, sph_c, radius=4.0, spread=0.35):
+    """Look-at cameras on an arc of ``radius`` around the sphere center —
+    every view FRAMES the full sphere (unlike `_look_at_poses`, whose
+    rotation overshoots its translation so each view clips the sphere to
+    a crescent; fine for GA correspondences, fatal for a novel-view gate
+    where train views must jointly cover the held-out view)."""
+    c2w = []
+    for k in range(n):
+        th = (k - (n - 1) / 2) * spread
+        pos = sph_c + np.array([radius * np.sin(th),
+                                0.3 * (k - (n - 1) / 2),
+                                -radius * np.cos(th)])
+        f = sph_c - pos
+        f = f / np.linalg.norm(f)
+        r = np.cross([0.0, 1.0, 0.0], f)
+        r = r / np.linalg.norm(r)
+        u = np.cross(f, r)
+        m = np.eye(4)
+        m[:3, 0] = r
+        m[:3, 1] = u
+        m[:3, 2] = f
+        m[:3, 3] = pos
+        c2w.append(m)
+    return np.stack(c2w)
+
+
 def _ray_sphere_depth(c2w, K, pix, sph_c, sph_r):
     """Depth along camera z of the first ray-sphere intersection."""
     d_cam = np.stack([(pix[:, 0] - K[0, 2]) / K[0, 0],
@@ -62,7 +88,8 @@ def _project(c2w, K, X):
 
 def synthetic_ga_scene(n_cams: int = 4, hw: int = 128, focal: float = 180.0,
                        subsample: int = 4, focal_error: float = 0.0,
-                       snap_free: bool = False, anchored: bool = False):
+                       snap_free: bool = False, anchored: bool = False,
+                       orbit: bool = False, sph_r: float = 2.0):
     """Planted multi-view scene on a sphere (curved — no planar SfM
     degeneracy).
 
@@ -83,8 +110,7 @@ def synthetic_ga_scene(n_cams: int = 4, hw: int = 128, focal: float = 180.0,
     """
     h = w = hw
     sph_c = np.array([0.0, 0.0, 4.0])
-    sph_r = 2.0
-    gt = _look_at_poses(n_cams)
+    gt = _orbit_poses(n_cams, sph_c) if orbit else _look_at_poses(n_cams)
     K = np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]])
     grid, hs, ws = subsample_grid_indices(h, w, subsample)
     grid = np.asarray(grid)
@@ -178,7 +204,8 @@ def _sphere_texture(p: np.ndarray) -> np.ndarray:
 
 
 def synthetic_image_scene(n_cams: int = 6, hw: int = 128,
-                          focal: float = 180.0, subsample: int = 2):
+                          focal: float = 180.0, subsample: int = 2,
+                          sph_r: float = 1.2):
     """Planted scene WITH ground-truth images — the end-to-end image-space
     quality gate (VERDICT r3 #7; BASELINE.md "novel-view PSNR").
 
@@ -191,14 +218,34 @@ def synthetic_image_scene(n_cams: int = 6, hw: int = 128,
     deliberately bypassed so the gate measures the framework, not a
     random-init checkpoint (reference de-facto spec: main.py:46-88).
 
-    Returns (data, mst, gt_c2w, K, images (C,H,W,3) float [0,1]).
+    Returns (data, mst, gt_c2w, K, images (C,H,W,3) float [0,1],
+    core_hit (C,S) bool — True where the core-grid ray intersects the
+    sphere). Core cells whose ray MISSES the surface still carry a
+    (clamped, tangent-shell) depth in ``data.core_depth`` — exactly like
+    low-confidence sky/background pixels in a real MASt3R pointmap. A
+    splat stage must seed Gaussians only from hit cells, the analog of the
+    product's dense-point confidence filter (Scene conf_thres, reference
+    scene.py:101,148-155); seeding the misses plants opaque
+    background-colored Gaussians that occlude the true surface (this
+    exact failure capped e2e holdout PSNR at 12 dB through round 4).
     """
     data, mst, gt, K = synthetic_ga_scene(
         n_cams=n_cams, hw=hw, focal=focal, subsample=subsample,
-        snap_free=True)
+        snap_free=True, orbit=True, sph_r=sph_r)
     h = w = hw
     sph_c = np.array([0.0, 0.0, 4.0])
-    sph_r = 2.0
+    core = np.asarray(data.core_pix, np.float64)
+    core_hit = np.zeros((n_cams, core.shape[0]), bool)
+    for i in range(n_cams):
+        d_cam = np.stack([(core[:, 0] - K[0, 2]) / K[0, 0],
+                          (core[:, 1] - K[1, 2]) / K[1, 1],
+                          np.ones(len(core))], -1)
+        d_w = d_cam @ gt[i][:3, :3].T
+        oc = gt[i][:3, 3] - sph_c
+        b = (d_w * oc).sum(-1)
+        cterm = (oc * oc).sum() - sph_r ** 2
+        a = (d_w * d_w).sum(-1)
+        core_hit[i] = (b * b - a * cterm) > 0
     u, v = np.meshgrid(np.arange(w) + 0.5, np.arange(h) + 0.5)
     pix = np.stack([u.ravel(), v.ravel()], -1)
     images = np.zeros((n_cams, h, w, 3), np.float32)
@@ -219,4 +266,4 @@ def synthetic_image_scene(n_cams: int = 6, hw: int = 128,
         col = np.clip(_sphere_texture(surf), 0.0, 1.0)
         img = np.where(hit[:, None] & (t[:, None] > 0.1), col, 0.0)
         images[i] = img.reshape(h, w, 3).astype(np.float32)
-    return data, mst, gt, K, images
+    return data, mst, gt, K, images, core_hit

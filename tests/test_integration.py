@@ -215,18 +215,31 @@ def test_e2e_image_quality_gate(rng):
     from starst3r_tpu.splat.train import init_gaussians, render, run_optim
     from starst3r_tpu.utils.synthetic import synthetic_image_scene
 
-    data, mst, _gt, _K, imgs = synthetic_image_scene(
+    data, mst, _gt, _K, imgs, hit = synthetic_image_scene(
         n_cams=5, hw=64, subsample=4, focal=90.0)
     res, _ = run_global_alignment(
         data, mst, GAConfig(niter1=300, niter2=100, lr2=0.004))
     hold = 2
     tc = [i for i in range(5) if i != hold]
     cp = np.asarray(data.core_pix).astype(np.int64)
-    pts = np.asarray(res.pts3d)[tc].reshape(-1, 3)
-    cols = np.stack([imgs[i][cp[:, 1], cp[:, 0]] for i in tc]).reshape(-1, 3)
-    cfg = dataclasses.replace(SplatConfig(rebin_every=4), init_scale=0.09,
-                              pool_headroom=0.0)
-    state = init_gaussians(pts, cols, cfg)
+    # seed Gaussians the product way: confidence-filtered points (here the
+    # exact hit mask — cells whose ray misses the surface carry garbage
+    # depth and would plant occluding background splats), per-point init
+    # scale = local grid spacing depth*subsample/focal from the RECOVERED
+    # depth, fixed (non-compat) activations, per-param lrs.
+    m = hit[tc].reshape(-1)
+    pts = np.asarray(res.pts3d)[tc].reshape(-1, 3)[m]
+    cols = np.stack([imgs[i][cp[:, 1], cp[:, 0]]
+                     for i in tc]).reshape(-1, 3)[m]
+    scales = (np.asarray(res.depth)[tc].reshape(-1)[m] * 4
+              / np.asarray(res.K)[tc, 0, 0].repeat(
+                  data.core_pix.shape[0])[m])
+    cfg = dataclasses.replace(
+        SplatConfig(rebin_every=4), pool_headroom=0.0,
+        compat_inverted_sh=False, compat_raw_activations=False,
+        lr_means=5e-4, lr_quats=1e-3, lr_scales=5e-3, lr_opacities=5e-2,
+        lr_sh=2.5e-3)
+    state = init_gaussians(pts, cols, cfg, point_scales=scales)
     w2c = np.asarray(res.w2c)
     Ks = np.asarray(res.K)
     r0 = jnp.clip(render(state.params, w2c[hold:hold + 1],
