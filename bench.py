@@ -4,8 +4,15 @@ Headline: Gaussians-optimized per second (3DGS training throughput on a
 synthetic 50k-Gaussian / 8-camera / 224px scene — BASELINE config 3 scale)
 at the training loop's steady state (auto-budgeted tile buckets + binning
 reuse, splat/train.py run_optim). Aux carries per-stage splat times,
-roofline fractions, GA trajectory quality (snapped / snap-free / anchored),
-splat + end-to-end PSNR, ViT throughput/MFU, and distributed-scale blocks.
+roofline fractions, GA trajectory quality (anchored default + variants),
+splat + end-to-end PSNR (train AND holdout), ViT throughput/MFU, and the
+distributed-scale blocks (1M-Gaussian step, 200-kf Schur cost curve,
+partition balance).
+
+STAGE ORDER (VERDICT r4 #2/#8): headline first, then the highest-value
+numbers (1M-Gaussian step, 512px splat, e2e quality) BEFORE repeat stages
+whose values barely move between rounds; every stage retries once on
+exception so one axon-tunnel flake cannot zero its metrics.
 
 TIMEOUT-PROOF DESIGN (VERDICT r3 #1 — round 3 lost all numbers to a driver
 timeout that killed the single end-of-run print):
@@ -104,7 +111,11 @@ def _mark(name: str):
 
 
 def _stage(name: str, min_budget_s: float = 0.0):
-    """Decorator-ish runner: skip when budget is short, absorb errors."""
+    """Decorator-ish runner: skip when budget is short, absorb errors.
+
+    Each stage RETRIES ONCE on exception (VERDICT r4 #8: a single
+    axon-tunnel flake — e.g. remote_compile HTTP 500 — must not zero a
+    stage's metrics; the compile cache makes the retry cheap)."""
     def run(fn):
         if left() < min_budget_s:
             RECORD["aux"].setdefault("stages_skipped", []).append(
@@ -113,17 +124,21 @@ def _stage(name: str, min_budget_s: float = 0.0):
                   f"< {min_budget_s:.0f}s)", file=sys.stderr, flush=True)
             return False
         _mark(name)
-        try:
-            fn()
-            RECORD["aux"].pop("last_stage", None)
-            emit()
-            return True
-        except Exception as e:  # noqa: BLE001 — deliberate fail-soft
-            traceback.print_exc()
-            RECORD["aux"].setdefault("stage_errors", []).append(
-                {"stage": name, "error": repr(e)[:200]})
-            emit()
-            return False
+        for attempt in (0, 1):
+            try:
+                fn()
+                RECORD["aux"].pop("last_stage", None)
+                emit()
+                return True
+            except Exception as e:  # noqa: BLE001 — deliberate fail-soft
+                traceback.print_exc()
+                RECORD["aux"].setdefault("stage_errors", []).append(
+                    {"stage": name, "attempt": attempt,
+                     "error": repr(e)[:200]})
+                emit()
+                if attempt == 0 and left() < min_budget_s / 2:
+                    break   # no budget for a retry
+        return False
     return run
 
 
@@ -215,7 +230,7 @@ def main():
     aux.pop("incomplete", None)
     aux["device"] = str(jax.devices()[0])
     aux["peaks"] = dict(peaks)
-    aux["timing"] = "block_until_ready wall (tools/probe_timing.py)"
+    aux["timing"] = "device_get-synced wall (tools/probe_timing.py)"
 
     # ---------------- 3DGS training throughput (224², 50k, 8 cams) --------
     n_g = 50_000
@@ -335,220 +350,11 @@ def main():
 
     _stage("splat_headline")(headline)
 
-    # ---------------- render-only fps (novel-view path, incl. binning) ----
-    def render_fps():
-        params = holder["state"].params
-        scfg = holder["scfg"]
-
-        def render_once():
-            rgb, _, _ = render(params, w2c, K, w, h, scfg)
-            return rgb
-
-        dt_render = _timeit(render_once, warmup=2, iters=10)
-        aux["render_fps_224"] = round(n_cams / dt_render, 1)
-
-    _stage("render_fps", min_budget_s=60)(render_fps)
-
-    # ---------------- pairwise ViT inference throughput + MFU -------------
-    mcfg = ModelConfig.base()
-
-    def vit224():
-        from starst3r_tpu.models.mast3r import Mast3rModel
-        model = Mast3rModel.init_random(mcfg, image_hw=(224, 224))
-        b = 16   # large pair batch: 196-token GEMMs need >=3k rows for MXU
-        img = jnp.asarray(rng.uniform(-1, 1, size=(b, 224, 224, 3))
-                          .astype(np.float32))
-
-        def infer():
-            return model.infer_pair_batch(img, img)["pts1"]
-
-        dt_inf = _timeit(infer, warmup=2, iters=5)
-        aux["vit_base_pairs_per_s_224"] = round(b / dt_inf, 2)
-        tok224 = (224 // mcfg.patch_size) ** 2
-        vit_flops = _vit_pair_flops(mcfg, tok224) * b
-        if peaks["peak_bf16_flops"]:
-            aux["vit_mfu_224"] = round(vit_flops / dt_inf
-                                       / peaks["peak_bf16_flops"], 3)
-            aux["vit_flops_note"] = ("trunk only (enc+interleaved dec), "
-                                     "heads excluded -> MFU lower bound")
-
-    _stage("vit_224", min_budget_s=120)(vit224)
-
-    # ---------------- quality: GA ATE/RPE on planted scenes ---------------
-    from starst3r_tpu.alignment.ga import run_global_alignment
-    from starst3r_tpu.utils.eval import ate_rmse, rpe_rotation_deg
-    from starst3r_tpu.utils.synthetic import (synthetic_ga_scene,
-                                              synthetic_image_scene)
-
-    def ga_quality():
-        data, mst, gt_poses, _ = synthetic_ga_scene(n_cams=4, hw=128,
-                                                    subsample=4)
-        result, _ = run_global_alignment(data, mst,
-                                         GAConfig(niter1=300, niter2=120))
-        pred = np.asarray(result.cam2w)
-        traj_scale = float(np.linalg.norm(
-            gt_poses[:, :3, 3] - gt_poses[:, :3, 3].mean(0), axis=1).max())
-        aux["ga_ate"] = round(float(ate_rmse(pred, gt_poses)), 5)
-        aux["ga_ate_frac_of_traj"] = round(aux["ga_ate"] / traj_scale, 4)
-        aux["ga_rpe_rot_deg"] = round(
-            float(rpe_rotation_deg(pred, gt_poses)), 3)
-
-    _stage("ga_quality", min_budget_s=120)(ga_quality)
-
-    def ga_snap_free():
-        # snap-free variant: exact continuous correspondences — the
-        # optimizer bound itself (tests/test_ga_groundtruth.py; VERDICT
-        # r3 #5)
-        sdata, smst, sgt, _ = synthetic_ga_scene(n_cams=4, hw=128,
-                                                 subsample=4,
-                                                 snap_free=True)
-        sres, _ = run_global_alignment(
-            sdata, smst, GAConfig(niter1=500, niter2=200, lr2=0.004))
-        s_ate = float(ate_rmse(np.asarray(sres.cam2w), sgt))
-        s_scale = float(np.linalg.norm(
-            sgt[:, :3, 3] - sgt[:, :3, 3].mean(0), axis=1).max())
-        aux["ga_ate_frac_snap_free"] = round(s_ate / s_scale, 6)
-
-    _stage("ga_snap_free", min_budget_s=100)(ga_snap_free)
-
-    def ga_anchored():
-        # anchored continuous correspondences on the PRODUCT condense path
-        # (VERDICT r3 next-round #4): descriptor-anchored sub-pixel
-        # positions thread through condense_pairs when anchors are present
-        adata, amst, agt, _ = synthetic_ga_scene(n_cams=4, hw=128,
-                                                 subsample=4,
-                                                 anchored=True)
-        ares, _ = run_global_alignment(
-            adata, amst, GAConfig(niter1=500, niter2=200, lr2=0.004))
-        a_ate = float(ate_rmse(np.asarray(ares.cam2w), agt))
-        a_scale = float(np.linalg.norm(
-            agt[:, :3, 3] - agt[:, :3, 3].mean(0), axis=1).max())
-        aux["ga_ate_frac_anchored"] = round(a_ate / a_scale, 6)
-
-    _stage("ga_anchored", min_budget_s=100)(ga_anchored)
-
-    # ---------------- quality: splat optimization PSNR --------------------
-    def splat_psnr():
-        qcfg = dataclasses.replace(cfg, init_scale=2e-2)
-        tgt_pts = rng.normal(size=(4000, 3)).astype(np.float32) * 0.4
-        tgt_pts[:, 2] += 3.0
-        tgt_cols = rng.uniform(size=(4000, 3)).astype(np.float32)
-        tgt_state = init_gaussians(tgt_pts, tgt_cols, qcfg, seed=1)
-        tgt_gt = jnp.clip(render(tgt_state.params, w2c, K, w, h, qcfg)[0],
-                          0.0, 1.0)
-        opt_state = init_gaussians(
-            tgt_pts + rng.normal(size=tgt_pts.shape).astype(np.float32)
-            * 0.05,
-            rng.uniform(size=(4000, 3)).astype(np.float32), qcfg, seed=2)
-        rgb0 = jnp.clip(render(opt_state.params, w2c, K, w, h, qcfg)[0],
-                        0, 1)
-        psnr0 = float(np.mean([psnr_fn(tgt_gt[i], rgb0[i])
-                               for i in range(n_cams)]))
-        opt_state, _ = run_optim(opt_state, np.asarray(tgt_gt),
-                                 np.asarray(w2c), np.asarray(K), 150, qcfg)
-        rgb_opt = jnp.clip(render(opt_state.params, w2c, K, w, h, qcfg)[0],
-                           0, 1)
-        aux["splat_psnr_150_iters"] = round(float(np.mean(
-            [psnr_fn(tgt_gt[i], rgb_opt[i]) for i in range(n_cams)])), 2)
-        aux["splat_psnr_init"] = round(psnr0, 2)
-
-    _stage("splat_psnr", min_budget_s=150)(splat_psnr)
-
-    # ---------------- end-to-end image-space quality (VERDICT r3 #7) ------
-    def e2e_quality():
-        # GA on exact synthetic data recovers poses + core points; 3DGS
-        # trains against the rendered images ON THE RECOVERED poses; PSNR
-        # at a held-out middle camera (its image never enters the splat
-        # loss and its points/colors never seed the Gaussians).
-        edata, emst, _egt, _eK, eimgs = synthetic_image_scene(
-            n_cams=6, hw=128, subsample=2)
-        # jit_chunk 10: at subsample=2 the core grid is 4096 points and a
-        # 50-step GA kernel exceeds the axon tunnel's kernel watchdog
-        # (observed "TPU device error" killing the stage)
-        eres, _ = run_global_alignment(
-            edata, emst, GAConfig(niter1=500, niter2=200, lr2=0.004,
-                                  jit_chunk=10))
-        hold = 3
-        train_cams = [i for i in range(6) if i != hold]
-        core_pix = np.asarray(edata.core_pix).astype(np.int64)  # (S, 2) u,v
-        e_pts = np.asarray(eres.pts3d)[train_cams].reshape(-1, 3)
-        e_cols = np.stack([eimgs[i][core_pix[:, 1], core_pix[:, 0]]
-                           for i in train_cams]).reshape(-1, 3)
-        # init scale ~ core-grid spacing in world units: depth*sub/focal
-        ecfg = dataclasses.replace(cfg, init_scale=0.045, pool_headroom=0.0)
-        est = init_gaussians(e_pts, e_cols, ecfg)
-        ew2c = np.asarray(eres.w2c)
-        eKs = np.asarray(eres.K)
-        e_rgb0 = jnp.clip(render(est.params, ew2c[hold:hold + 1],
-                                 eKs[hold:hold + 1], 128, 128, ecfg)[0][0],
-                          0, 1)
-        e_psnr0 = float(psnr_fn(jnp.asarray(eimgs[hold]), e_rgb0))
-        est, _ = run_optim(est, eimgs[train_cams], ew2c[train_cams],
-                           eKs[train_cams], 300, ecfg)
-        e_rgb = jnp.clip(render(est.params, ew2c[hold:hold + 1],
-                                eKs[hold:hold + 1], 128, 128, ecfg,
-                                n_alive=est.n_alive)[0][0], 0, 1)
-        aux["e2e_psnr"] = round(float(psnr_fn(jnp.asarray(eimgs[hold]),
-                                              e_rgb)), 2)
-        aux["e2e_psnr_init"] = round(e_psnr0, 2)
-
-    _stage("e2e_quality", min_budget_s=180)(e2e_quality)
-
-    # ---------------- BASELINE configs 4-5: keyframe BA + 1M pool ---------
-    def config4():
-        # 50-keyframe incremental Schur-complement BA (BASELINE config 4)
-        import sys as _sys
-        _sys.path.insert(0, os.path.join(os.path.dirname(
-            os.path.abspath(__file__)), "tests"))
-        from test_schur import _make_seq, _perturb
-
-        from starst3r_tpu.alignment.schur import schur_refine
-
-        d = _make_seq(np.random.default_rng(0), c=50, npts=16, window=3)
-        noisy = _perturb(d["cam2w"], np.random.default_rng(1), rot=0.01,
-                         tr=0.03)
-        schur_refine(noisy, d["focals"], d["pps"], d["depths"],
-                     d["core_pix"], d["tracks"], iters=1, opt_focal=False)
-        t0 = time.perf_counter()
-        _, _, costs = schur_refine(
-            noisy, d["focals"], d["pps"], d["depths"], d["core_pix"],
-            d["tracks"], iters=5, opt_focal=False)
-        aux["config4"] = {
-            "keyframes": 50,
-            "schur_s_per_iter": round((time.perf_counter() - t0) / 5, 3),
-            "cost_drop": round(float(costs[0] / max(costs[-1], 1e-12)), 1),
-        }
-
-    _stage("config4", min_budget_s=150)(config4)
-
-    def config5():
-        # 200-keyframe Schur BA + 1M-Gaussian-pool training step
-        # (BASELINE config 5, single-chip slice; the multi-chip sharding
-        # of the same paths is validated by __graft_entry__
-        # .dryrun_multichip on the virtual 8-device mesh)
-        import sys as _sys
-        _sys.path.insert(0, os.path.join(os.path.dirname(
-            os.path.abspath(__file__)), "tests"))
-        from test_schur import _make_seq, _perturb
-
-        from starst3r_tpu.alignment.schur import schur_refine
-
-        d = _make_seq(np.random.default_rng(0), c=200, npts=16, window=3)
-        noisy = _perturb(d["cam2w"], np.random.default_rng(1), rot=0.01,
-                         tr=0.03)
-        schur_refine(noisy, d["focals"], d["pps"], d["depths"],
-                     d["core_pix"], d["tracks"], iters=1, opt_focal=False)
-        t0 = time.perf_counter()
-        _, _, costs = schur_refine(
-            noisy, d["focals"], d["pps"], d["depths"], d["core_pix"],
-            d["tracks"], iters=5, opt_focal=False)
-        blk = {
-            "keyframes": 200,
-            "schur_s_per_iter": round((time.perf_counter() - t0) / 5, 3),
-            "cost_drop": round(float(costs[0] / max(costs[-1], 1e-12)), 1),
-        }
-        aux["config5"] = blk
-
+    # ---------------- BASELINE config 5: 1M-Gaussian pool step ------------
+    # Runs IMMEDIATELY after the headline (VERDICT r4 #2: the two
+    # highest-value unlanded numbers — the 1M step and the 512px splat —
+    # kept dying to budget/flakes behind repeat stages).
+    def config5_1m():
         n1m = 1_000_000
         pts1 = rng.normal(size=(n1m, 3)).astype(np.float32) * 0.8
         pts1[:, 2] += 4.0
@@ -571,41 +377,34 @@ def main():
 
         dt1 = _timeit(step1m, warmup=2, iters=5)
         dtb1 = _timeit(bin1m, warmup=1, iters=3)
+        blk = aux.setdefault("config5", {})
         blk["gaussians"] = n1m
         blk["splat_step_ms"] = round((dt1 + dtb1 / REBIN) * 1e3, 2)
+        blk["splat_step_reuse_ms"] = round(dt1 * 1e3, 2)
+        blk["bin_ms"] = round(dtb1 * 1e3, 2)
         blk["gaussians_per_s"] = round(n1m / (dt1 + dtb1 / REBIN))
+        blk["splat_budget"] = {
+            "max_tiles_per_gaussian": scfg1.max_tiles_per_gaussian,
+            "max_per_tile": scfg1.max_per_tile}
+        entries1 = float(jax.device_get(bins1.counts.sum()))
+        if peaks["peak_hbm_Bps"]:
+            b_gather1 = entries1 * 36.0 * 4.0
+            pf1 = n1m * (3 + 3 + 4 + 1 + 3 + 3 * scfg1.sh_bands)
+            bytes1 = (b_gather1 + pf1 * 4.0 * 7.0
+                      + n_cams * h * w * 3 * 24.0)
+            blk["entries"] = int(entries1)
+            blk["step_min_hbm_mb"] = round(bytes1 / 1e6, 1)
+            blk["step_hbm_frac"] = round(
+                bytes1 / dt1 / peaks["peak_hbm_Bps"], 3)
         try:
             ms = jax.devices()[0].memory_stats()
-            blk["peak_hbm_mb"] = round(
-                ms.get("peak_bytes_in_use", 0) / 1e6)
+            blk["peak_hbm_mb"] = round(ms.get("peak_bytes_in_use", 0) / 1e6)
         except Exception:
             pass
 
-    _stage("config5", min_budget_s=220)(config5)
+    _stage("config5_1m", min_budget_s=120)(config5_1m)
 
-    # ---------------- 512-px operating block (checkpoint-native res) ------
-    def res512():
-        from starst3r_tpu.models.mast3r import Mast3rModel
-        r = {}
-        model512 = Mast3rModel.init_random(mcfg, image_hw=(512, 512))
-        b512 = 4
-        img512 = jnp.asarray(rng.uniform(-1, 1, size=(b512, 512, 512, 3))
-                             .astype(np.float32))
-
-        def infer512():
-            return model512.infer_pair_batch(img512, img512)["pts1"]
-
-        dt512 = _timeit(infer512, warmup=1, iters=3)
-        r["vit_base_pairs_per_s"] = round(b512 / dt512, 2)
-        if peaks["peak_bf16_flops"]:
-            tok512 = (512 // mcfg.patch_size) ** 2
-            r["vit_mfu"] = round(
-                _vit_pair_flops(mcfg, tok512) * b512 / dt512
-                / peaks["peak_bf16_flops"], 3)
-        aux["res512"] = r
-
-    _stage("res512", min_budget_s=240)(res512)
-
+    # ---------------- 512-px splat block (checkpoint-native res) ----------
     def splat512():
         r = aux.setdefault("res512", {})
         h5 = w5 = 512
@@ -634,11 +433,273 @@ def main():
         dt_step5 = _timeit(step5, warmup=2, iters=5)
         dt_bin5 = _timeit(bin5, warmup=2, iters=5)
         r["splat_step_ms"] = round((dt_step5 + dt_bin5 / REBIN) * 1e3, 2)
+        r["splat_gaussians_per_s"] = round(
+            n_g / (dt_step5 + dt_bin5 / REBIN))
         r["splat_budget"] = {
             "max_tiles_per_gaussian": scfg5.max_tiles_per_gaussian,
             "max_per_tile": scfg5.max_per_tile}
 
-    _stage("splat_512", min_budget_s=240)(splat512)
+    _stage("splat_512", min_budget_s=120)(splat512)
+
+    # ---------------- end-to-end image-space quality ----------------------
+    from starst3r_tpu.alignment.ga import run_global_alignment
+    from starst3r_tpu.utils.eval import ate_rmse, rpe_rotation_deg
+    from starst3r_tpu.utils.synthetic import (synthetic_ga_scene,
+                                              synthetic_image_scene)
+
+    def e2e_quality():
+        # GA on exact synthetic data recovers poses + core points; 3DGS
+        # trains against the rendered images ON THE RECOVERED poses and is
+        # evaluated at a held-out middle camera (its image never enters
+        # the splat loss and its cells never seed Gaussians). Seeding
+        # follows the product recipe (VERDICT r4 #1): hit-masked cells
+        # (the synthetic analog of Scene's conf_thres filter — unfiltered
+        # background cells plant occluding black splats, the 12 dB cap of
+        # rounds 3-4), per-point init scale depth*subsample/focal from the
+        # RECOVERED depth, fixed activations, per-param lrs. Records
+        # TRAIN-view PSNR alongside holdout (pose error vs fit error).
+        sub = 2
+        edata, emst, _egt, _eK, eimgs, ehit = synthetic_image_scene(
+            n_cams=6, hw=128, subsample=sub)
+        # jit_chunk 10: at subsample=2 the core grid is 4096 points and a
+        # 50-step GA kernel exceeds the axon tunnel's kernel watchdog
+        # (observed "TPU device error" killing the stage)
+        eres, _ = run_global_alignment(
+            edata, emst, GAConfig(niter1=500, niter2=200, lr2=0.004,
+                                  jit_chunk=10))
+        hold = 3
+        train_cams = [i for i in range(6) if i != hold]
+        core_pix = np.asarray(edata.core_pix).astype(np.int64)  # (S,2) u,v
+        m = ehit[train_cams].reshape(-1)
+        e_pts = np.asarray(eres.pts3d)[train_cams].reshape(-1, 3)[m]
+        e_cols = np.stack([eimgs[i][core_pix[:, 1], core_pix[:, 0]]
+                           for i in train_cams]).reshape(-1, 3)[m]
+        s_cells = core_pix.shape[0]
+        e_scales = (np.asarray(eres.depth)[train_cams].reshape(-1)[m] * sub
+                    / np.asarray(eres.K)[train_cams, 0, 0]
+                    .repeat(s_cells)[m])
+        ecfg = dataclasses.replace(
+            cfg, compat_inverted_sh=False, compat_raw_activations=False,
+            lr_means=3e-5, lr_quats=1e-3, lr_scales=5e-3,
+            lr_opacities=5e-2, lr_sh=2.5e-3,
+            mcmc_refine_start=300, mcmc_refine_stop=550)
+        est = init_gaussians(e_pts, e_cols, ecfg, point_scales=e_scales,
+                             pool_size=int(2.0 * e_pts.shape[0]))
+        ew2c = np.asarray(eres.w2c)
+        eKs = np.asarray(eres.K)
+        e_rgb0 = jnp.clip(render(est.params, ew2c[hold:hold + 1],
+                                 eKs[hold:hold + 1], 128, 128, ecfg,
+                                 n_alive=est.n_alive)[0][0], 0, 1)
+        e_psnr0 = float(psnr_fn(jnp.asarray(eimgs[hold]), e_rgb0))
+        est, _ = run_optim(est, eimgs[train_cams], ew2c[train_cams],
+                           eKs[train_cams], 600, ecfg, enable_pruning=True)
+        rgb_tr = jnp.clip(render(est.params, ew2c[train_cams],
+                                 eKs[train_cams], 128, 128, ecfg,
+                                 n_alive=est.n_alive)[0], 0, 1)
+        aux["e2e_psnr_train"] = round(float(np.mean(
+            [psnr_fn(jnp.asarray(eimgs[i]), rgb_tr[k])
+             for k, i in enumerate(train_cams)])), 2)
+        e_rgb = jnp.clip(render(est.params, ew2c[hold:hold + 1],
+                                eKs[hold:hold + 1], 128, 128, ecfg,
+                                n_alive=est.n_alive)[0][0], 0, 1)
+        aux["e2e_psnr"] = round(float(psnr_fn(jnp.asarray(eimgs[hold]),
+                                              e_rgb)), 2)
+        aux["e2e_psnr_init"] = round(e_psnr0, 2)
+
+    _stage("e2e_quality", min_budget_s=180)(e2e_quality)
+
+    # ---------------- pairwise ViT inference throughput + MFU -------------
+    mcfg = ModelConfig.base()
+
+    def vit224():
+        from starst3r_tpu.models.mast3r import Mast3rModel
+        model = Mast3rModel.init_random(mcfg, image_hw=(224, 224))
+        b = 16   # large pair batch: 196-token GEMMs need >=3k rows for MXU
+        img = jnp.asarray(rng.uniform(-1, 1, size=(b, 224, 224, 3))
+                          .astype(np.float32))
+
+        def infer():
+            return model.infer_pair_batch(img, img)["pts1"]
+
+        dt_inf = _timeit(infer, warmup=2, iters=5)
+        aux["vit_base_pairs_per_s_224"] = round(b / dt_inf, 2)
+        tok224 = (224 // mcfg.patch_size) ** 2
+        vit_flops = _vit_pair_flops(mcfg, tok224) * b
+        if peaks["peak_bf16_flops"]:
+            aux["vit_mfu_224"] = round(vit_flops / dt_inf
+                                       / peaks["peak_bf16_flops"], 3)
+            aux["vit_flops_note"] = ("trunk only (enc+interleaved dec), "
+                                     "heads excluded -> MFU lower bound")
+
+    _stage("vit_224", min_budget_s=120)(vit224)
+
+    # ---------------- render-only fps (novel-view path, incl. binning) ----
+    def render_fps():
+        params = holder["state"].params
+        scfg = holder["scfg"]
+
+        def render_once():
+            rgb, _, _ = render(params, w2c, K, w, h, scfg)
+            return rgb
+
+        dt_render = _timeit(render_once, warmup=2, iters=10)
+        aux["render_fps_224"] = round(n_cams / dt_render, 1)
+
+    _stage("render_fps", min_budget_s=60)(render_fps)
+
+    # ---------------- quality: GA ATE/RPE on planted scenes ---------------
+    def ga_quality():
+        # HEADLINE GA metric measures the PRODUCT-DEFAULT configuration
+        # (VERDICT r4 #5): anchored sub-pixel endpoints — the path
+        # config.MatchingConfig.anchor_refine=True routes through condense.
+        data, mst, gt_poses, _ = synthetic_ga_scene(n_cams=4, hw=128,
+                                                    subsample=4,
+                                                    anchored=True)
+        result, _ = run_global_alignment(
+            data, mst, GAConfig(niter1=500, niter2=200, lr2=0.004))
+        pred = np.asarray(result.cam2w)
+        traj_scale = float(np.linalg.norm(
+            gt_poses[:, :3, 3] - gt_poses[:, :3, 3].mean(0), axis=1).max())
+        aux["ga_ate"] = round(float(ate_rmse(pred, gt_poses)), 5)
+        aux["ga_ate_frac_of_traj"] = round(aux["ga_ate"] / traj_scale, 4)
+        aux["ga_rpe_rot_deg"] = round(
+            float(rpe_rotation_deg(pred, gt_poses)), 3)
+
+    _stage("ga_quality", min_budget_s=120)(ga_quality)
+
+    # ---------------- BASELINE configs 4-5: keyframe Schur BA -------------
+    def config4():
+        # 50-keyframe incremental Schur-complement BA (BASELINE config 4)
+        import sys as _sys
+        _sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tests"))
+        from test_schur import _make_seq, _perturb
+
+        from starst3r_tpu.alignment.schur import schur_refine
+
+        d = _make_seq(np.random.default_rng(0), c=50, npts=16, window=3)
+        noisy = _perturb(d["cam2w"], np.random.default_rng(1), rot=0.01,
+                         tr=0.03)
+        schur_refine(noisy, d["focals"], d["pps"], d["depths"],
+                     d["core_pix"], d["tracks"], iters=1, opt_focal=False)
+        t0 = time.perf_counter()
+        _, _, costs = schur_refine(
+            noisy, d["focals"], d["pps"], d["depths"], d["core_pix"],
+            d["tracks"], iters=5, opt_focal=False)
+        aux["config4"] = {
+            "keyframes": 50,
+            "schur_s_per_iter": round((time.perf_counter() - t0) / 5, 3),
+            "cost_drop": round(float(costs[0] / max(costs[-1], 1e-12)), 1),
+        }
+
+    _stage("config4", min_budget_s=150)(config4)
+
+    def config5_schur():
+        # 200-keyframe Schur BA (BASELINE config 5's BA half; the 1M splat
+        # half runs as config5_1m right after the headline). Records the
+        # full COST-vs-ITERATION curve over 15 iters (VERDICT r4 #6: the
+        # 5-iter cost drop of 13x at 200 kf vs 10514x at 50 kf needed
+        # either more iterations or a conditioning diagnosis) plus the
+        # per-shard valid-observation counts of the 8-way keyframe-block
+        # partition (VERDICT r4 #7 work-balance evidence; asserted
+        # near-equal in tests/test_distributed.py).
+        import sys as _sys
+        _sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tests"))
+        from test_schur import _make_seq, _perturb
+
+        from starst3r_tpu.alignment.schur import (schur_partition_sizes,
+                                                  schur_refine)
+
+        d = _make_seq(np.random.default_rng(0), c=200, npts=16, window=3)
+        noisy = _perturb(d["cam2w"], np.random.default_rng(1), rot=0.01,
+                         tr=0.03)
+        schur_refine(noisy, d["focals"], d["pps"], d["depths"],
+                     d["core_pix"], d["tracks"], iters=1, opt_focal=False)
+        t0 = time.perf_counter()
+        _, _, costs = schur_refine(
+            noisy, d["focals"], d["pps"], d["depths"], d["core_pix"],
+            d["tracks"], iters=15, opt_focal=False)
+        blk = aux.setdefault("config5", {})
+        blk["keyframes"] = 200
+        blk["schur_s_per_iter"] = round((time.perf_counter() - t0) / 15, 3)
+        blk["cost_drop"] = round(float(costs[0] / max(costs[-1], 1e-12)), 1)
+        blk["cost_curve"] = [float(f"{c:.6g}") for c in costs]
+        blk["partition_obs_8dev"] = schur_partition_sizes(d["tracks"], 8)
+
+    _stage("config5_schur", min_budget_s=150)(config5_schur)
+
+    # ---------------- quality: splat optimization PSNR --------------------
+    def splat_psnr():
+        qcfg = dataclasses.replace(cfg, init_scale=2e-2)
+        tgt_pts = rng.normal(size=(4000, 3)).astype(np.float32) * 0.4
+        tgt_pts[:, 2] += 3.0
+        tgt_cols = rng.uniform(size=(4000, 3)).astype(np.float32)
+        tgt_state = init_gaussians(tgt_pts, tgt_cols, qcfg, seed=1)
+        tgt_gt = jnp.clip(render(tgt_state.params, w2c, K, w, h, qcfg)[0],
+                          0.0, 1.0)
+        opt_state = init_gaussians(
+            tgt_pts + rng.normal(size=tgt_pts.shape).astype(np.float32)
+            * 0.05,
+            rng.uniform(size=(4000, 3)).astype(np.float32), qcfg, seed=2)
+        rgb0 = jnp.clip(render(opt_state.params, w2c, K, w, h, qcfg)[0],
+                        0, 1)
+        psnr0 = float(np.mean([psnr_fn(tgt_gt[i], rgb0[i])
+                               for i in range(n_cams)]))
+        opt_state, _ = run_optim(opt_state, np.asarray(tgt_gt),
+                                 np.asarray(w2c), np.asarray(K), 150, qcfg)
+        rgb_opt = jnp.clip(render(opt_state.params, w2c, K, w, h, qcfg)[0],
+                           0, 1)
+        aux["splat_psnr_150_iters"] = round(float(np.mean(
+            [psnr_fn(tgt_gt[i], rgb_opt[i]) for i in range(n_cams)])), 2)
+        aux["splat_psnr_init"] = round(psnr0, 2)
+
+    _stage("splat_psnr", min_budget_s=150)(splat_psnr)
+
+    # ---------------- 512-px ViT block (checkpoint-native res) ------------
+    def res512():
+        from starst3r_tpu.models.mast3r import Mast3rModel
+        r = aux.setdefault("res512", {})
+        model512 = Mast3rModel.init_random(mcfg, image_hw=(512, 512))
+        b512 = 4
+        img512 = jnp.asarray(rng.uniform(-1, 1, size=(b512, 512, 512, 3))
+                             .astype(np.float32))
+
+        def infer512():
+            return model512.infer_pair_batch(img512, img512)["pts1"]
+
+        dt512 = _timeit(infer512, warmup=1, iters=3)
+        r["vit_base_pairs_per_s"] = round(b512 / dt512, 2)
+        if peaks["peak_bf16_flops"]:
+            tok512 = (512 // mcfg.patch_size) ** 2
+            r["vit_mfu"] = round(
+                _vit_pair_flops(mcfg, tok512) * b512 / dt512
+                / peaks["peak_bf16_flops"], 3)
+
+    _stage("res512", min_budget_s=150)(res512)
+
+    # ---------------- GA variants (comparison points) ---------------------
+    def ga_variants():
+        # snapped (anchor_refine=False product variant) + snap-free
+        # (optimizer bound) ATE fractions for comparison with the anchored
+        # headline
+        data, mst, gtp, _ = synthetic_ga_scene(n_cams=4, hw=128,
+                                               subsample=4)
+        res, _ = run_global_alignment(data, mst,
+                                      GAConfig(niter1=300, niter2=120))
+        scale = float(np.linalg.norm(
+            gtp[:, :3, 3] - gtp[:, :3, 3].mean(0), axis=1).max())
+        aux["ga_ate_frac_snapped"] = round(
+            float(ate_rmse(np.asarray(res.cam2w), gtp)) / scale, 6)
+        sdata, smst, sgt, _ = synthetic_ga_scene(n_cams=4, hw=128,
+                                                 subsample=4,
+                                                 snap_free=True)
+        sres, _ = run_global_alignment(
+            sdata, smst, GAConfig(niter1=500, niter2=200, lr2=0.004))
+        aux["ga_ate_frac_snap_free"] = round(
+            float(ate_rmse(np.asarray(sres.cam2w), sgt)) / scale, 6)
+
+    _stage("ga_variants", min_budget_s=150)(ga_variants)
 
     emit(final=True)
 

@@ -290,6 +290,28 @@ def _gather_rows_fwd(table, idx):
     return table[idx], (idx, table.shape[0])
 
 
+def _factored_onehot_colsum(idx: jnp.ndarray, ct: jnp.ndarray,
+                            nrows: int) -> jnp.ndarray:
+    """Σ_m [idx_m == r] * ct_m for D=1 cotangents via a TWO-LEVEL one-hot:
+    idx = hi*B + lo with B ≈ √R, so the contraction is one (H, M) @ (M, B)
+    matmul with peak memory M*(B + R/B) ≈ 2M√R instead of the dense (M, R)
+    one-hot — at the 512px GA operating point (S=4096, ~10 cams, M ≈ 8e4
+    anchored endpoints: R = C*S ≈ 4e4) the dense form is ~13 GB and OOMs a
+    16 GB chip, the factored form ~130 MB (ADVICE r4 medium)."""
+    m = idx.shape[0]
+    b = 1 << max((max(nrows - 1, 1).bit_length() + 1) // 2, 1)  # ≈ √R, pow2
+    hblocks = -(-nrows // b)
+    hi = (idx // b)[:, None]
+    lo = (idx % b)[:, None]
+    oh_hi = (hi == jnp.arange(hblocks, dtype=idx.dtype)[None, :]
+             ).astype(ct.dtype)                            # (M, H)
+    oh_lo = (lo == jnp.arange(b, dtype=idx.dtype)[None, :]
+             ).astype(ct.dtype)                            # (M, B)
+    hl = jnp.einsum("mh,ml->hl", oh_hi, oh_lo * ct,
+                    precision=jax.lax.Precision.HIGHEST)   # (H, B)
+    return hl.reshape(hblocks * b, 1)[:nrows]
+
+
 def _gather_rows_bwd(res, ct):
     idx, nrows = res
     if jax.default_backend() != "tpu":
@@ -297,6 +319,10 @@ def _gather_rows_bwd(res, ct):
         # the plain scatter-add there (traced per backend at jit time)
         d = jnp.zeros((nrows,) + ct.shape[1:], ct.dtype).at[idx].add(ct)
         return d, None
+    if ct.shape[1] == 1 and idx.shape[0] * nrows > (1 << 26):
+        # the big-R case is the per-correspondence depth gather (R = C*S,
+        # D = 1); every other gather here has R = #cameras
+        return _factored_onehot_colsum(idx, ct, nrows), None
     oh = (idx[:, None] == jnp.arange(nrows, dtype=idx.dtype)[None, :]
           ).astype(ct.dtype)                               # (M, R)
     d = jnp.einsum("mr,md->rd", oh, ct,

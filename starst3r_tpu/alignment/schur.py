@@ -45,7 +45,8 @@ import numpy as np
 
 from ..utils.se3 import quat_normalize, quat_to_rotmat, rotmat_to_quat
 
-__all__ = ("Tracks", "build_tracks", "schur_refine")
+__all__ = ("Tracks", "build_tracks", "schur_refine",
+           "schur_partition_sizes")
 
 _NP = 8  # per-camera params: quat(4) + trans(3) + log_focal(1)
 
@@ -238,6 +239,20 @@ def _shard_reduced_system(thetas, tracks_cam, tracks_pt, tracks_w,
     S = s_corr.reshape(c, _NP, c, _NP)
     S = S.at[jnp.arange(c), :, jnp.arange(c), :].add(s_diag)
     return S.reshape(c * _NP, c * _NP), g.reshape(-1), cost
+
+
+def schur_partition_sizes(tracks: "Tracks", n_dev: int) -> list:
+    """Valid-observation count per device shard under the keyframe-block
+    track partitioning `schur_refine(mesh=...)` uses (tracks padded to a
+    multiple of n_dev, then split contiguously over the mesh axis).
+    Work-balance diagnostic (VERDICT r4 #7): recorded in bench aux and
+    asserted near-equal in tests/test_distributed.py."""
+    m = tracks.cam.shape[0]
+    pad = (-m) % n_dev
+    w = np.concatenate(
+        [tracks.w, np.zeros((pad,) + tracks.w.shape[1:], np.float32)])
+    per = w.reshape(n_dev, -1, w.shape[-1])
+    return [int((s > 0).sum()) for s in per]
 
 
 def schur_refine(

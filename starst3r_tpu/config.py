@@ -199,6 +199,13 @@ class SplatConfig:
     loss_ssim_fac: float = 0.2      # gs.py:101
     loss_opacity_fac: float = 0.01  # gs.py:102
     loss_scale_fac: float = 0.01    # gs.py:103
+    # geometry prior: penalize squared drift of means from their SEED
+    # positions (the metric reconstruction's points). 0 = off (reference
+    # behavior — it has no such prior). Sparse-view captures overfit the
+    # train views with floaters (Gaussians drifting far off the surface,
+    # p95 drift >2 world units observed on the 5-view e2e scene); the
+    # reconstruction is a depth prior the loss should be allowed to use.
+    loss_anchor_fac: float = 0.0
     tile_size: int = 16             # gsplat-style 16x16 tiles
     # static per-Gaussian tile-entry budget: each Gaussian's projected bbox
     # is enumerated exactly up to this many tiles (overflow is COUNTED in

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ("PairMatches", "subsample_grid_indices", "reciprocal_nn",
-           "match_pair")
+           "match_pair", "refine_matches")
 
 
 class PairMatches(NamedTuple):

@@ -114,6 +114,51 @@ class Scene:
             self.dense_cols.append(colors[mask])
 
     # ------------------------------------------------------------------
+    def register_camera(self, model, img, conf_thres: float = 1.5,
+                        pair_graph: str = "complete"):
+        """Register ONE new image against the existing reconstruction
+        WITHOUT moving it: all previous cameras (poses, intrinsics, depth)
+        are frozen and only the new camera's parameters optimize.
+
+        This is the held-out/novel-camera localization primitive (e.g.
+        evaluate novel-view PSNR at a camera whose image never entered
+        training): `add_images` re-optimizes every camera jointly (the
+        reference's warm-start semantics, starster/scene.py:97-155 +
+        reconstruct.py:408-415), which shifts the whole gauge; freezing
+        keeps the existing frame fixed so Gaussians trained in it stay
+        valid. Returns the new camera's c2w (4, 4).
+        """
+        n_prev = len(self.raw_imgs)
+        assert n_prev >= 2, "register_camera needs an existing scene"
+        self.raw_imgs.append(np.asarray(img, np.float32))
+        freeze = np.zeros(n_prev + 1, bool)
+        freeze[:n_prev] = True
+        rec, optim_params = reconstruct_scene(
+            model, self.raw_imgs,
+            optim_params=self.optim_params,
+            tmpdir=self.cache_dir,
+            config=self.config,
+            pair_graph=pair_graph,
+            freeze=freeze,
+            logger=self.logger,
+        )
+        self.optim_params = optim_params
+        self.reconstruction = rec
+        curr = len(self.imgs)
+        self.imgs.extend(rec.imgs[curr:])
+        self.c2w = rec.cam2w
+        self.intrinsics = rec.intrinsics
+        pts, _, confs = rec.get_dense_pts3d(clean_depth=True)
+        self.dense_pts = []
+        self.dense_cols = []
+        for i in range(len(rec.imgs)):
+            mask = np.asarray(confs[i]).reshape(-1) > conf_thres
+            colors = rec.imgs[i].reshape(-1, 3)
+            self.dense_pts.append(np.asarray(pts[i])[mask])
+            self.dense_cols.append(colors[mask])
+        return np.asarray(self.c2w[-1])
+
+    # ------------------------------------------------------------------
     def init_3dgs(self, init_scale: float = 3e-3, lr: float = 1e-3,
                   pool_size: int = -1):
         """pool_size -1 (default) reserves min(cap_max, pool_headroom * N)

@@ -350,8 +350,19 @@ def _gather_packed_bwd(res, g):
     c, t, k, a = g.shape
     g2 = jnp.concatenate(
         [g.reshape(c * t * k, a), jnp.zeros((1, a), g.dtype)], axis=0)
-    d_packed = g2[bw_idx.reshape(-1)].reshape(
-        bw_idx.shape[0], bw_idx.shape[1], a).sum(axis=1)  # (C*N, 9)
+    rows, e = bw_idx.shape
+    # accumulate over the E per-Gaussian entry slots with a fori_loop: the
+    # one-shot gather materializes a (C*N*E, 9) f32 temp whose 9-wide rows
+    # pad to 128 lanes — 14.2x expansion, 15.3 GB at the 1M-Gaussian
+    # operating point (the config5 compile OOM, rounds 4-5: "Used 19.41G
+    # of 15.75G hbm ... 8.6% utilization"). Chunking caps the temp at
+    # (C*N, 9) per slot; the tile reads per gathered row (the actual
+    # bandwidth cost) are identical either way.
+    def body(i, acc):
+        return acc + g2[bw_idx[:, i]]
+
+    d_packed = jax.lax.fori_loop(
+        0, e, body, jnp.zeros((rows, a), g.dtype))        # (C*N, 9)
     return d_packed, None, None, None
 
 
@@ -697,9 +708,11 @@ def _default_impl() -> str:
     faster end-to-end at bench scale (train step 58.8 -> 44.4 ms device,
     tools/probe_profile_step.py; shape preconditions fall back to 'xla'
     inside `rasterize` automatically). Elsewhere (CPU tests) 'xla' — the
-    Pallas interpreter is far slower than compiled XLA. STARST3R_PALLAS=1
-    forces the kernels (interpret mode off-TPU), STARST3R_PALLAS=0 forces
-    the autodiff oracle ('ref')."""
+    Pallas interpreter is far slower than compiled XLA.
+
+    ONE switch: STARST3R_IMPL in {'pallas', 'xla', 'ref'} overrides the
+    default. (STARST3R_PALLAS=1/0 is the legacy spelling, still honored:
+    1 -> pallas — interpret mode off-TPU — and 0 -> ref.)"""
     import os
 
     env = os.environ.get("STARST3R_IMPL", "")
@@ -800,10 +813,13 @@ def rasterize(means, quats, scales, opacities, sh, viewmats, Ks,
     """Render C cameras. means (N,3), quats (N,4) wxyz, scales (N,3) linear,
     opacities (N,) linear, sh (N,K,3), viewmats=w2c (C,4,4), Ks (C,3,3).
 
-    impl: 'xla' (XLA scan with hand-derived reverse-sweep VJP — the default),
-    'ref' (pure-XLA scan, autodiff backward, parity oracle),
-    'pallas' (experimental TPU kernels, opt-in via STARST3R_PALLAS=1),
-    or 'auto' (env override, else xla).
+    impl: 'auto' (the default — resolves via `_default_impl` to 'pallas'
+    on TPU, the fused fwd+bwd kernels measured 1.33x faster than the XLA
+    path at bench scale, and 'xla' elsewhere; the STARST3R_IMPL env var
+    overrides the choice), 'pallas', 'xla' (XLA scan with hand-derived
+    reverse-sweep VJP), or 'ref' (autodiff backward, parity oracle).
+    Note: the Pallas compositing kernels pin their chunk length to 128
+    lanes; the ``chunk`` argument only affects the xla/ref paths.
 
     ``bins``: optional precomputed `bin_gaussians` result — skips the two
     binning sorts (training loops rebin every `rebin_every` steps);

@@ -270,20 +270,30 @@ def _graph_cfg(cfg: SplatConfig) -> SplatConfig:
 
 def train_step(state: GSState, gt: jnp.ndarray, w2c: jnp.ndarray,
                Ks: jnp.ndarray, width: int, height: int, cfg: SplatConfig,
-               n_cams: int, bins=None):
+               n_cams: int, bins=None, anchors=None):
     """One optimization step over all cameras. gt: (C, H, W, 3) in [0,1].
 
     bins: optional `compute_bins` result (cfg.rebin_every reuse — skips
-    the two binning sorts; gradients stay exact)."""
+    the two binning sorts; gradients stay exact).
+    anchors: optional (cap, 3) seed positions for the drift prior
+    (cfg.loss_anchor_fac > 0)."""
     return _train_step(state, gt, w2c, Ks, width, height, _graph_cfg(cfg),
-                       n_cams, bins)
+                       n_cams, bins, anchors)
+
+
+# donate the incoming state: params + Adam moments are ~1.1 GB at the 1M-
+# Gaussian pool and the async dispatch queue otherwise keeps one full copy
+# live per in-flight step (5 queued steps OOM'd the 16 GB chip in the
+# bench timing loop). Donation is a TPU-only win; CPU jit would only warn.
+_DONATE = (0,) if jax.default_backend() == "tpu" else ()
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "cfg",
-                                             "n_cams"))
+                                             "n_cams"),
+                   donate_argnums=_DONATE)
 def _train_step(state: GSState, gt: jnp.ndarray, w2c: jnp.ndarray,
                 Ks: jnp.ndarray, width: int, height: int, cfg: SplatConfig,
-                n_cams: int, bins=None):
+                n_cams: int, bins=None, anchors=None):
     opt = make_optimizer(cfg)
     cap = state.params["means"].shape[0]
     alive = (jnp.arange(cap, dtype=jnp.int32) < state.n_alive)
@@ -305,6 +315,10 @@ def _train_step(state: GSState, gt: jnp.ndarray, w2c: jnp.ndarray,
                         * alive[:, None]) / (3.0 * denom)
         loss = loss + n_cams * (cfg.loss_opacity_fac * reg_o
                                 + cfg.loss_scale_fac * reg_s)
+        if cfg.loss_anchor_fac > 0.0 and anchors is not None:
+            drift = jnp.sum((params["means"] - anchors) ** 2, axis=-1)
+            loss = loss + cfg.loss_anchor_fac * jnp.sum(
+                drift * alive) / denom
         return loss
 
     loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -397,6 +411,10 @@ def run_optim(state: GSState, gt_images: np.ndarray, w2c: np.ndarray,
     scfg = _autobudget_cfg(state, w2c_j, ks_j, w, h, cfg) \
         if cfg.auto_budget else cfg
     bins = None   # reused across steps when rebin > 1 (full-camera path)
+    # drift-prior anchors: the seed positions (metric reconstruction);
+    # refreshed after every MCMC relocation (relocated slots re-anchor at
+    # their landing position)
+    anchors = state.params["means"] if cfg.loss_anchor_fac > 0.0 else None
     for it in range(iters):
         if trace_open and it == 3:
             # trace only the first steps (compile + a few steady steps):
@@ -408,7 +426,7 @@ def run_optim(state: GSState, gt_images: np.ndarray, w2c: np.ndarray,
             # cannot be reused across steps
             sel = jnp.asarray(cam_rng.choice(c, size=cb, replace=False))
             state, loss = train_step(state, gt[sel], w2c_j[sel], ks_j[sel],
-                                     w, h, scfg, cb)
+                                     w, h, scfg, cb, anchors=anchors)
         else:
             if bins is None or it % rebin == 0:
                 bins = compute_bins(state.params, w2c_j, ks_j, w, h, scfg,
@@ -437,7 +455,7 @@ def run_optim(state: GSState, gt_images: np.ndarray, w2c: np.ndarray,
                                             h, scfg,
                                             n_alive=state.n_alive)
             state, loss = train_step(state, gt, w2c_j, ks_j, w, h, scfg, c,
-                                     bins=bins)
+                                     bins=bins, anchors=anchors)
         if enable_pruning:
             step = step0 + it + 1   # == int(state.step), tracked host-side
             do_refine = (step >= mcfg.refine_start
@@ -446,6 +464,8 @@ def run_optim(state: GSState, gt_images: np.ndarray, w2c: np.ndarray,
             state = _mcmc_post_step(state, cfg.lr, cfg, mcfg, do_refine)
             if do_refine:
                 bins = None   # relocated Gaussians jump: force a rebin
+                if anchors is not None:
+                    anchors = state.params["means"]
         losses_dev.append(loss)
         # note: verbose mode host-syncs (float()/int()) every 50 steps BY
         # DESIGN — the no-per-step-sync pipelining claim above holds for

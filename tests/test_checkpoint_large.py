@@ -56,3 +56,19 @@ def test_large_every_leaf_lands():
 
     bad = walk(mapped["params"], tree["params"])
     assert not bad, bad[:10]
+
+
+def test_key_manifest_matches_fixture():
+    """The committed key manifest (tests/fixtures/
+    mast3r_large_key_manifest.txt) is the documented oracle for the real
+    checkpoint's key naming (ADVICE r4: keep it diffable against the real
+    file the first time one is available); the converter's expectations
+    must not drift from it silently."""
+    import os
+    sd = synthetic_state_dict(CFG, zeros=True)
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "mast3r_large_key_manifest.txt")
+    with open(path) as f:
+        manifest = [ln.strip() for ln in f
+                    if ln.strip() and not ln.startswith("#")]
+    assert sorted(sd.keys()) == manifest

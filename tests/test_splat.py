@@ -405,3 +405,46 @@ def test_render_3dgs_masks_dead_slots(rng):
     rgb1, a1, _ = scene.render_3dgs_original(32, 32)
     np.testing.assert_array_equal(np.asarray(rgb0), np.asarray(rgb1))
     np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+
+
+def test_graph_cfg_pins_non_graph_fields():
+    """Configs differing ONLY in host-side loop/init knobs must produce
+    IDENTICAL jitted train-step jaxprs (ADVICE r4: _graph_cfg silently
+    pins 12 fields before jit — an accidental in-graph read of e.g.
+    cfg.cap_max would silently use the pinned value; this makes that
+    failure loud)."""
+    import dataclasses
+
+    import jax
+
+    from starst3r_tpu.config import SplatConfig
+    from starst3r_tpu.splat.train import (_NON_GRAPH_FIELDS, _graph_cfg,
+                                          _train_step, init_gaussians)
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(64, 3)).astype(np.float32)
+    pts[:, 2] += 3.0
+    cols = rng.uniform(size=(64, 3)).astype(np.float32)
+    cfg_a = SplatConfig()
+    overrides = dict(init_scale=0.02, auto_budget=False, rebin_every=7,
+                     cap_max=999, mcmc_min_opacity=0.1, mcmc_noise_lr=1.0,
+                     mcmc_refine_every=3, mcmc_refine_start=1,
+                     mcmc_refine_stop=2, mcmc_grow_factor=2.0,
+                     pool_headroom=0.0, camera_batch=3)
+    assert set(overrides) == set(_NON_GRAPH_FIELDS)
+    cfg_b = dataclasses.replace(cfg_a, **overrides)
+    state = init_gaussians(pts, cols, cfg_a)
+    gt = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    w2c = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (2, 1, 1))
+    K = jnp.tile(jnp.array([[20.0, 0, 16], [0, 20.0, 16], [0, 0, 1]],
+                           jnp.float32)[None], (2, 1, 1))
+    args = (state, gt, w2c, K, 32, 32)
+    ja = jax.make_jaxpr(
+        lambda s, g, w, k: _train_step(s, g, w, k, 32, 32,
+                                       _graph_cfg(cfg_a), 2))(
+        state, gt, w2c, K)
+    jb = jax.make_jaxpr(
+        lambda s, g, w, k: _train_step(s, g, w, k, 32, 32,
+                                       _graph_cfg(cfg_b), 2))(
+        state, gt, w2c, K)
+    assert str(ja) == str(jb)
