@@ -59,25 +59,25 @@ def main():
     sub = 2 if args.hw >= 128 else 4
     t0 = time.time()
     data, mst, _gt, _K, imgs, hit = synthetic_image_scene(
-        n_cams=6, hw=args.hw, subsample=sub,
+        n_cams=8, hw=args.hw, subsample=sub, spread=0.25,
         focal=180.0 * args.hw / 128)
     res, _ = run_global_alignment(
         data, mst, GAConfig(niter1=500, niter2=200, lr2=0.004,
                             jit_chunk=10))
-    print(f"[turntable] GA recovered 6 poses in {time.time()-t0:.1f}s")
+    print(f"[turntable] GA recovered 8 poses in {time.time()-t0:.1f}s")
 
     cp = np.asarray(data.core_pix).astype(np.int64)
     m = hit.reshape(-1)
     pts = np.asarray(res.pts3d).reshape(-1, 3)[m]
     cols = np.stack([imgs[i][cp[:, 1], cp[:, 0]]
-                     for i in range(6)]).reshape(-1, 3)[m]
+                     for i in range(8)]).reshape(-1, 3)[m]
     scales = (np.asarray(res.depth).reshape(-1)[m] * sub
               / np.asarray(res.K)[:, 0, 0].repeat(cp.shape[0])[m])
     cfg = SplatConfig(
         rebin_every=4, compat_inverted_sh=False,
         compat_raw_activations=False, lr_means=3e-5, lr_quats=1e-3,
         lr_scales=5e-3, lr_opacities=5e-2, lr_sh=2.5e-3,
-        mcmc_refine_start=300, mcmc_refine_stop=550)
+        loss_anchor_fac=0.3, mcmc_refine_start=300, mcmc_refine_stop=550)
     state = init_gaussians(pts, cols, cfg, point_scales=scales,
                            pool_size=int(2.0 * pts.shape[0]))
     t1 = time.time()

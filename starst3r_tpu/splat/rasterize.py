@@ -92,6 +92,10 @@ def project_gaussians(means, quats, scales, opacities, sh, w2c, K,
     R = w2c[:3, :3]
     t = w2c[:3, 3]
     cam_pts = means @ R.T + t                       # (N, 3)
+    # clamp to a generous world box: runaway Gaussians (e.g. MCMC noise
+    # excursions) otherwise overflow the conic algebra to inf, and
+    # inf - inf = NaN poisons the whole Adam state through the backward
+    cam_pts = jnp.clip(cam_pts, -1e5, 1e5)
     z = cam_pts[:, 2]
     valid = z > near
 

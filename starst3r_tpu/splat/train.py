@@ -413,8 +413,10 @@ def run_optim(state: GSState, gt_images: np.ndarray, w2c: np.ndarray,
     bins = None   # reused across steps when rebin > 1 (full-camera path)
     # drift-prior anchors: the seed positions (metric reconstruction);
     # refreshed after every MCMC relocation (relocated slots re-anchor at
-    # their landing position)
-    anchors = state.params["means"] if cfg.loss_anchor_fac > 0.0 else None
+    # their landing position). jnp.copy: the state is DONATED into the
+    # jitted step — an aliased anchors buffer would be invalidated.
+    anchors = (jnp.copy(state.params["means"])
+               if cfg.loss_anchor_fac > 0.0 else None)
     for it in range(iters):
         if trace_open and it == 3:
             # trace only the first steps (compile + a few steady steps):
@@ -461,11 +463,17 @@ def run_optim(state: GSState, gt_images: np.ndarray, w2c: np.ndarray,
             do_refine = (step >= mcfg.refine_start
                          and step < mcfg.refine_stop
                          and step % mcfg.refine_every == 0)
-            state = _mcmc_post_step(state, cfg.lr, cfg, mcfg, do_refine)
+            # the MCMC position noise scales with the MEANS learning
+            # rate (gsplat uses the means optimizer's current lr); using
+            # the uniform cfg.lr when lr_means is much smaller made the
+            # noise ~30x too strong and sent dying Gaussians roaming
+            # (means drifted to |x| > 100 before NaN'ing projection math)
+            mean_lr = cfg.lr_means if cfg.lr_means is not None else cfg.lr
+            state = _mcmc_post_step(state, mean_lr, cfg, mcfg, do_refine)
             if do_refine:
                 bins = None   # relocated Gaussians jump: force a rebin
                 if anchors is not None:
-                    anchors = state.params["means"]
+                    anchors = jnp.copy(state.params["means"])
         losses_dev.append(loss)
         # note: verbose mode host-syncs (float()/int()) every 50 steps BY
         # DESIGN — the no-per-step-sync pipelining claim above holds for

@@ -44,8 +44,11 @@ def _orbit_poses(n, sph_c, radius=4.0, spread=0.35):
     c2w = []
     for k in range(n):
         th = (k - (n - 1) / 2) * spread
+        # y stays within ~±0.6 regardless of n so every camera still
+        # frames the sphere (±0.3*(n-1)/2 pushed 10-camera rigs' end
+        # views half off-target)
         pos = sph_c + np.array([radius * np.sin(th),
-                                0.3 * (k - (n - 1) / 2),
+                                1.2 * (k - (n - 1) / 2) / max(n - 1, 1),
                                 -radius * np.cos(th)])
         f = sph_c - pos
         f = f / np.linalg.norm(f)
@@ -89,7 +92,8 @@ def _project(c2w, K, X):
 def synthetic_ga_scene(n_cams: int = 4, hw: int = 128, focal: float = 180.0,
                        subsample: int = 4, focal_error: float = 0.0,
                        snap_free: bool = False, anchored: bool = False,
-                       orbit: bool = False, sph_r: float = 2.0):
+                       orbit: bool = False, sph_r: float = 2.0,
+                       spread: float = 0.35):
     """Planted multi-view scene on a sphere (curved — no planar SfM
     degeneracy).
 
@@ -110,7 +114,8 @@ def synthetic_ga_scene(n_cams: int = 4, hw: int = 128, focal: float = 180.0,
     """
     h = w = hw
     sph_c = np.array([0.0, 0.0, 4.0])
-    gt = _orbit_poses(n_cams, sph_c) if orbit else _look_at_poses(n_cams)
+    gt = (_orbit_poses(n_cams, sph_c, spread=spread) if orbit
+          else _look_at_poses(n_cams))
     K = np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]])
     grid, hs, ws = subsample_grid_indices(h, w, subsample)
     grid = np.asarray(grid)
@@ -205,7 +210,7 @@ def _sphere_texture(p: np.ndarray) -> np.ndarray:
 
 def synthetic_image_scene(n_cams: int = 6, hw: int = 128,
                           focal: float = 180.0, subsample: int = 2,
-                          sph_r: float = 1.2):
+                          sph_r: float = 1.2, spread: float = 0.35):
     """Planted scene WITH ground-truth images — the end-to-end image-space
     quality gate (VERDICT r3 #7; BASELINE.md "novel-view PSNR").
 
@@ -231,7 +236,7 @@ def synthetic_image_scene(n_cams: int = 6, hw: int = 128,
     """
     data, mst, gt, K = synthetic_ga_scene(
         n_cams=n_cams, hw=hw, focal=focal, subsample=subsample,
-        snap_free=True, orbit=True, sph_r=sph_r)
+        snap_free=True, orbit=True, sph_r=sph_r, spread=spread)
     h = w = hw
     sph_c = np.array([0.0, 0.0, 4.0])
     core = np.asarray(data.core_pix, np.float64)

@@ -28,8 +28,22 @@ enable_compilation_cache()
 log(f"devices={jax.devices()}")
 
 from starst3r_tpu.config import SplatConfig  # noqa: E402
+import starst3r_tpu.splat.train as T  # noqa: E402
 from starst3r_tpu.splat.train import (_autobudget_cfg, compute_bins,  # noqa: E402
-                                      init_gaussians, train_step)
+                                      init_gaussians)
+
+
+def train_step(state, gt, w2c, K, w, h, cfg, n_cams, bins=None):
+    # UNDONATED re-jit of the product step: buffer donation makes the
+    # axon-tunnel profiler fail with InvalidArgument (observed r5); math
+    # and fusions are identical.
+    return _step_nd(state, gt, w2c, K, w, h, T._graph_cfg(cfg), n_cams,
+                    bins)
+
+
+import functools  # noqa: E402
+_step_nd = jax.jit(T._train_step.__wrapped__,
+                   static_argnames=("width", "height", "cfg", "n_cams"))
 
 rng = np.random.default_rng(0)
 n_g = 50_000
