@@ -59,6 +59,36 @@ import numpy as np
 T_START = time.monotonic()
 BUDGET_S = float(os.environ.get("STARST3R_BENCH_BUDGET_S", "1100"))
 
+# ---- crash-resume (round 5): a TPU worker crash mid-run poisons the
+# backend for the REST of the process (every later stage dies instantly
+# with FAILED_PRECONDITION — observed after the 1M-Gaussian stage). On
+# such an error the bench re-execs itself with the remaining budget and
+# the completed-stage list in env; the fresh process reconnects, reloads
+# the persisted RECORD, skips completed stages, and continues.
+_DONE_STAGES = set(
+    s for s in os.environ.get("STARST3R_BENCH_DONE", "").split(",") if s)
+_RESTARTS = int(os.environ.get("STARST3R_BENCH_RESTARTS", "0"))
+_MAX_RESTARTS = 3
+
+
+def _reexec_fresh():
+    if _RESTARTS >= _MAX_RESTARTS or left() < 60:
+        return
+    env = dict(os.environ)
+    env["STARST3R_BENCH_DONE"] = ",".join(sorted(_DONE_STAGES))
+    env["STARST3R_BENCH_RESTARTS"] = str(_RESTARTS + 1)
+    env["STARST3R_BENCH_BUDGET_S"] = str(max(left(), 60.0))
+    emit()
+    print(f"[bench] BACKEND DEAD -> re-exec (restart {_RESTARTS + 1}, "
+          f"{left():.0f}s left, done={len(_DONE_STAGES)})",
+          file=sys.stderr, flush=True)
+    os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)],
+              env)
+
+
+def _is_backend_dead(e) -> bool:
+    return "FAILED_PRECONDITION" in repr(e)
+
 # steady-state binning reuse measured in aux as the headline operating
 # point (gradients stay exact; tile assignment ages <= REBIN-1 steps —
 # splat/rasterize.py Bins docstring, parity test tests/test_splat.py)
@@ -117,6 +147,8 @@ def _stage(name: str, min_budget_s: float = 0.0):
     axon-tunnel flake — e.g. remote_compile HTTP 500 — must not zero a
     stage's metrics; the compile cache makes the retry cheap)."""
     def run(fn):
+        if name in _DONE_STAGES:
+            return True   # completed before a crash-restart
         if left() < min_budget_s:
             RECORD["aux"].setdefault("stages_skipped", []).append(
                 {"stage": name, "reason": f"budget<{min_budget_s:.0f}s"})
@@ -128,6 +160,7 @@ def _stage(name: str, min_budget_s: float = 0.0):
             try:
                 fn()
                 RECORD["aux"].pop("last_stage", None)
+                _DONE_STAGES.add(name)
                 emit()
                 return True
             except Exception as e:  # noqa: BLE001 — deliberate fail-soft
@@ -136,6 +169,10 @@ def _stage(name: str, min_budget_s: float = 0.0):
                     {"stage": name, "attempt": attempt,
                      "error": repr(e)[:200]})
                 emit()
+                if _is_backend_dead(e):
+                    # the poisoned backend cannot recover in-process
+                    _reexec_fresh()
+                    break
                 if attempt == 0 and left() < min_budget_s / 2:
                     break   # no budget for a retry
         return False
@@ -211,6 +248,16 @@ def _vit_pair_flops(mcfg, n_tokens: int) -> float:
 
 def main():
     threading.Thread(target=_watchdog, daemon=True).start()
+    if _DONE_STAGES:
+        # crash-restart: resume the persisted record (stage results of the
+        # previous process live there)
+        try:
+            with open(_PREV_PATH) as f:
+                prev = json.load(f)
+            RECORD.update(prev)
+            RECORD["aux"] = prev.get("aux", {})
+        except Exception:
+            pass
 
     import jax
     import jax.numpy as jnp
@@ -609,6 +656,11 @@ def main():
     def render_fps():
         params = holder["state"].params
         scfg = holder["scfg"]
+        if scfg is cfg:
+            # headline completed in a previous process (crash-restart):
+            # recompute its auto-budgeted config
+            scfg = _autobudget_cfg(holder["state"], w2c, K, w, h, cfg)
+            holder["scfg"] = scfg
 
         def render_once():
             rgb, _, _ = render(params, w2c, K, w, h, scfg)
