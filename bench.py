@@ -823,7 +823,7 @@ def main():
         aux["ga_ate_frac_snap_free"] = round(
             float(ate_rmse(np.asarray(sres.cam2w), sgt)) / scale, 6)
 
-    _stage("ga_variants", min_budget_s=150)(ga_variants)
+    _stage("ga_variants", min_budget_s=110)(ga_variants)
 
     emit(final=True)
 

@@ -24,7 +24,11 @@ frames (docs/quickstart).
 import argparse
 import dataclasses
 import os
+import sys
 import time
+
+# runnable from a checkout without installation
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
     import jax

@@ -24,6 +24,22 @@ depth-sorted front-to-back alpha compositing) is re-designed for XLA:
      §7.4 hard part 1) is hand-derived here too and cross-checked against
      the oracle to 1e-5 (tests/test_splat.py, tests/test_pallas_composite).
 
+PERFORMANCE NOTE (r5 roofline analysis, tools/probe_profile_step.py +
+bench aux splat_roofline): the train step is bound by the two entry
+gathers — forward (C,T,K) slot rows and backward E rows per pool slot —
+each of which costs one (8,128) 4 KB tile read per row on TPU
+irrespective of the 36 B payload. Measured at bench scale the gathers
+run at 58%/73% of that tile-read bound (step_tile_model_frac 0.36
+at 50k, 0.47 at 1M), i.e. the design is near ITS OWN speed of light;
+the remaining headroom is FEWER gathered rows. At 50k/224px occupancy
+is 29% (rectangular slots 1.61M vs 0.57M chunk-aligned entries → a
+compact/bucketed entry layout projects ~1.4x on the whole step), while
+at the 1M operating point occupancy is already 96% and compaction buys
+nothing. Capping max_per_tile below max occupancy (e.g. 512) is 1.43x
+faster but measurably changes renders on overdraw-heavy scenes (dropped
+depth-later entries can be the only cover for some pixels) — kept as an
+explicit user knob, not a default.
+
 Semantics match `gsplat.rasterization(means, quats(wxyz), scales, opacities,
 colors(N,K,3), viewmats, Ks, width, height, sh_degree)`: scales/opacities are
 consumed in linear space (the reference feeds raw parameters — SURVEY §2a
