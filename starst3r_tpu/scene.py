@@ -46,6 +46,9 @@ class Scene:
 
         self.dense_pts: List[np.ndarray] = []
         self.dense_cols: List[np.ndarray] = []
+        # per-point local spacing depth/focal (full-res grid) — optional
+        # adaptive 3DGS init scales (splat.init_3dgs adaptive_scales)
+        self.dense_scales: List[np.ndarray] = []
         self.c2w: Optional[np.ndarray] = None
         self.intrinsics: Optional[np.ndarray] = None
 
@@ -104,14 +107,19 @@ class Scene:
         self.c2w = rec.cam2w
         self.intrinsics = rec.intrinsics
 
-        pts, _, confs = rec.get_dense_pts3d(clean_depth=True)
+        pts, depths, confs = rec.get_dense_pts3d(clean_depth=True)
         self.dense_pts = []
         self.dense_cols = []
+        self.dense_scales = []
         for i in range(len(rec.imgs)):
             mask = np.asarray(confs[i]).reshape(-1) > conf_thres
             colors = rec.imgs[i].reshape(-1, 3)
             self.dense_pts.append(np.asarray(pts[i])[mask])
             self.dense_cols.append(colors[mask])
+            # local point spacing of the full-res grid: depth / focal
+            self.dense_scales.append(
+                np.asarray(depths[i]).reshape(-1)[mask]
+                / float(self.intrinsics[i, 0, 0]))
 
     # ------------------------------------------------------------------
     def register_camera(self, model, img, conf_thres: float = 1.5,
@@ -148,23 +156,31 @@ class Scene:
         self.imgs.extend(rec.imgs[curr:])
         self.c2w = rec.cam2w
         self.intrinsics = rec.intrinsics
-        pts, _, confs = rec.get_dense_pts3d(clean_depth=True)
+        pts, depths, confs = rec.get_dense_pts3d(clean_depth=True)
         self.dense_pts = []
         self.dense_cols = []
+        self.dense_scales = []
         for i in range(len(rec.imgs)):
             mask = np.asarray(confs[i]).reshape(-1) > conf_thres
             colors = rec.imgs[i].reshape(-1, 3)
             self.dense_pts.append(np.asarray(pts[i])[mask])
             self.dense_cols.append(colors[mask])
+            # local point spacing of the full-res grid: depth / focal
+            self.dense_scales.append(
+                np.asarray(depths[i]).reshape(-1)[mask]
+                / float(self.intrinsics[i, 0, 0]))
         return np.asarray(self.c2w[-1])
 
     # ------------------------------------------------------------------
     def init_3dgs(self, init_scale: float = 3e-3, lr: float = 1e-3,
-                  pool_size: int = -1):
+                  pool_size: int = -1, adaptive_scales: bool = False):
         """pool_size -1 (default) reserves min(cap_max, pool_headroom * N)
-        inactive slots so MCMC growth is active (see splat.init_3dgs)."""
+        inactive slots so MCMC growth is active (see splat.init_3dgs).
+        adaptive_scales seeds each splat at its local point spacing
+        (recommended quality recipe, docs/gaussian_splatting.md)."""
         from .splat import init_3dgs
-        return init_3dgs(self, init_scale, lr, pool_size=pool_size)
+        return init_3dgs(self, init_scale, lr, pool_size=pool_size,
+                         adaptive_scales=adaptive_scales)
 
     def render_3dgs(self, w2c, intrinsics, width: int, height: int):
         from .splat import render_3dgs

@@ -23,7 +23,7 @@ __all__ = (
 
 
 def init_3dgs(scene, init_scale: float = 3e-3, lr: float = 1e-3,
-              pool_size: int = -1):
+              pool_size: int = -1, adaptive_scales: bool = False):
     """Initialize splats + optimizer from the scene's dense points
     (reference: starster/gs.py:14-45).
 
@@ -32,6 +32,11 @@ def init_3dgs(scene, init_scale: float = 3e-3, lr: float = 1e-3,
     The default (-1) reserves min(cap_max, pool_headroom * N) so growth is
     ACTIVE out of the box, like gsplat's add_new_gs toward cap_max
     (reference starster/gs.py:43-45); pass 0 to disable headroom.
+
+    adaptive_scales=True seeds each splat at its LOCAL point spacing
+    (depth/focal of the dense grid, Scene.dense_scales) instead of the
+    uniform init_scale — the recommended quality recipe
+    (docs/gaussian_splatting.md); default off = reference behavior.
     """
     cfg = scene.config.splat
     if init_scale != cfg.init_scale or lr != cfg.lr:
@@ -40,10 +45,14 @@ def init_3dgs(scene, init_scale: float = 3e-3, lr: float = 1e-3,
         scene.config = dataclasses.replace(scene.config, splat=cfg)
     pts = scene.dense_pts_flat
     cols = scene.dense_cols_flat
+    point_scales = None
+    if adaptive_scales and getattr(scene, "dense_scales", None):
+        point_scales = np.concatenate(scene.dense_scales, axis=0)
     if pool_size < 0:
         pool_size = min(cfg.cap_max,
                         int(cfg.pool_headroom * pts.shape[0]))
-    scene.gs_state = init_gaussians(pts, cols, cfg, pool_size=pool_size)
+    scene.gs_state = init_gaussians(pts, cols, cfg, pool_size=pool_size,
+                                    point_scales=point_scales)
     return scene.gs_state
 
 

@@ -278,3 +278,21 @@ def test_register_camera_freezes_existing(tiny_model, fast_cfg, rng):
     np.testing.assert_allclose(
         np.asarray(p_before.core_depth),
         np.asarray(scene.optim_params.core_depth[:3]), atol=1e-6)
+
+
+def test_init_3dgs_adaptive_scales(tiny_model, fast_cfg, rng):
+    """Scene.init_3dgs(adaptive_scales=True) seeds each splat at its local
+    point spacing depth/focal (the quality recipe) — per-point, positive,
+    and consistent with the stored dense depths."""
+    imgs = _images(2, rng)
+    scene = st.Scene(config=fast_cfg)
+    scene.add_images(tiny_model, imgs, conf_thres=0.0)
+    assert len(scene.dense_scales) == 2
+    assert all(s.shape[0] == p.shape[0]
+               for s, p in zip(scene.dense_scales, scene.dense_pts))
+    state = scene.init_3dgs(adaptive_scales=True)
+    n = scene.dense_pts_flat.shape[0]
+    got = np.asarray(state.params["scales"][:n, 0])
+    want = np.concatenate(scene.dense_scales)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    assert np.all(want > 0)
